@@ -1,0 +1,171 @@
+"""Typed configuration tree.
+
+Replaces the reference's three-layer config (argparse flags + YAML->
+``argparse.Namespace`` via ``dict2namespace`` at ``main.py:9-17`` + the
+module-global diffusion ``AttrDict`` at ``utils/params.py:19-50``) with
+dataclasses.  The same three knob groups survive: run flags
+(:class:`RunConfig`), experiment config (:class:`ExperimentConfig`) and
+diffusion hyper-parameters (:class:`DiffusionConfig`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+import yaml
+
+
+@dataclass(frozen=True)
+class StftConfig:
+    """STFT framing parameters (reference ``conf/*.yml`` train block)."""
+
+    fft_num: int = 320
+    win_size: int = 320
+    win_shift: int = 160
+
+    @property
+    def freq_bins(self) -> int:
+        return self.fft_num // 2 + 1  # 161
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 6
+    n_epochs: int = 50
+    loss: str = "com_mse_loss"
+    chunk_length: int = 48000  # 3 s @ 16 kHz
+    win_size: int = 320
+    fft_num: int = 320
+    win_shift: int = 160
+    feat_type: str = "sqrt"  # normal | sqrt | cubic | log_1x | none
+    pesq_loss: bool = False
+    lam: float = 1.0  # joint loss weight: lam * L_ddpm + L_dis
+    sample_rate: int = 16000
+
+    @property
+    def stft(self) -> StftConfig:
+        return StftConfig(self.fft_num, self.win_size, self.win_shift)
+
+    @property
+    def freq_bins(self) -> int:
+        return self.fft_num // 2 + 1
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    name: str = "DiffUNet"
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    optimizer: str = "Adam"
+    lr: float = 5e-4
+    l2: float = 1e-7  # torch-Adam style L2 (decay added to the gradient)
+    half_lr: int = 3  # halve LR after this many non-improving CV epochs
+    early_stop: int = 5  # stop after this many non-improving CV epochs
+
+
+@dataclass(frozen=True)
+class DiffusionConfig:
+    """Diffusion hyper-parameters (reference ``utils/params.py:35-50``)."""
+
+    pirorgrad: bool = True  # [sic] reference flag name, kept for parity
+    deltamu: bool = False
+    ours: bool = False
+    fast_sampling: bool = True
+    noise_schedule: List[float] = field(
+        default_factory=lambda: np.linspace(1e-4, 0.05, 50).tolist()
+    )
+    inference_noise_schedule: List[float] = field(
+        default_factory=lambda: [1e-4, 1e-3, 1e-2, 0.05, 0.2, 0.5]
+    )
+    # reverse-sampler fixups applied by the reference
+    # (trainer/complex_ddpm_trainer.py:460 gamma[0]=0.2, :30 c=11)
+    gamma0_override: float = 0.2
+    scale_c: float = 11.0
+
+    @property
+    def num_steps(self) -> int:
+        return len(self.noise_schedule)
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    """One experiment = one of the reference's ``conf/*.yml`` files."""
+
+    train: TrainConfig = field(default_factory=TrainConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    model_ddpm: Optional[ModelConfig] = None
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    optim_ddpm: Optional[OptimConfig] = None
+    diffusion: DiffusionConfig = field(default_factory=DiffusionConfig)
+
+
+@dataclass(frozen=True)
+class RunConfig:
+    """CLI run flags (reference ``main.py:23-36``)."""
+
+    seed: int = 1234
+    trainer: str = "ComplexDDPMTrainer"
+    config: str = "diff.yml"
+    doc: str = "diff"
+    assets: str = "assets_dpm"
+    generate: bool = False
+    retrain: bool = False
+    joint: bool = False
+    eval: bool = False
+    sigma: bool = False
+    noisy: bool = False
+    draw: bool = False
+    # paths derived as in main.py:37-40
+    data_root: str = "data"
+
+    @property
+    def log_dir(self) -> str:
+        return f"{self.assets}/log/{self.doc}"
+
+    @property
+    def checkpoint_dir(self) -> str:
+        return f"{self.assets}/checkpoint/{self.doc}"
+
+    @property
+    def generated_wav_dir(self) -> str:
+        return f"{self.assets}/wav/{self.doc}"
+
+
+def _build(cls, data: dict):
+    """Recursively build a dataclass from a plain dict, ignoring unknowns."""
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for key, value in data.items():
+        if key not in fields:
+            continue
+        ftype = fields[key].type
+        if isinstance(value, dict):
+            target = {
+                "train": TrainConfig,
+                "model": ModelConfig,
+                "model_ddpm": ModelConfig,
+                "optim": OptimConfig,
+                "optim_ddpm": OptimConfig,
+                "diffusion": DiffusionConfig,
+            }.get(key)
+            kwargs[key] = _build(target, value) if target else value
+        else:
+            kwargs[key] = value
+        del ftype
+    return cls(**kwargs)
+
+
+def load_experiment(path: str) -> ExperimentConfig:
+    """Load an experiment YAML (same schema as reference ``conf/*.yml``)."""
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    return _build(ExperimentConfig, raw)
+
+
+def experiment_from_dict(raw: dict) -> ExperimentConfig:
+    return _build(ExperimentConfig, raw)
