@@ -1,0 +1,67 @@
+"""Forward diffusion (q-sample) and the PriorGrad sigma mask.
+
+Mirrors the training-time noising block of
+``trainer/complex_ddpm_trainer.py:707-733`` in our channels-last
+``[B, T, F, 2]`` layout, with explicit PRNG threading.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def sigma_mask(x_init: jnp.ndarray) -> jnp.ndarray:
+    """Per-bin data-dependent noise scale in ``[0.5, 1]``.
+
+    ``mask = |x_init| / max_{T,F}|x_init| / 2 + 0.5`` with the max taken
+    per (batch, channel) — the reference flattens ``[B, 2, T, F]`` from
+    dim 2 and maxes over it (``trainer/complex_ddpm_trainer.py:712-716``),
+    i.e. over (T, F) per channel.
+    """
+    a = jnp.abs(x_init)
+    m = jnp.max(a, axis=(1, 2), keepdims=True)
+    return a / m / 2.0 + 0.5
+
+
+def q_sample(
+    rng: jax.Array,
+    clean: jnp.ndarray,
+    x_init: Optional[jnp.ndarray],
+    alpha_bar: jnp.ndarray,
+    num_steps: int,
+    mode: str = "pirorgrad",
+    sig_mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Draw ``t``, ``eps`` and build ``x_t``.
+
+    Returns ``(x_t, noise, t)`` where ``t`` is int32 ``[B]``.
+
+    modes (trainer/complex_ddpm_trainer.py:720-733):
+      * ``pirorgrad``: x_t = sqrt(ab_t)*(clean - x_init) + sqrt(1-ab_t)*eps
+      * ``deltamu``:   x_t = sqrt(ab_t)*clean + sqrt(1-ab_t)*(eps + x_init)
+      * ``conditional``: x_t = sqrt(ab_t)*clean + sqrt(1-ab_t)*eps
+
+    When ``sig_mask`` is given the noise is scaled by ``sqrt(mask)``
+    before mixing (PriorGrad, lines 712-717) — note the *returned*
+    noise is the scaled one, which is also the regression target.
+    """
+    t_rng, n_rng = jax.random.split(rng)
+    batch = clean.shape[0]
+    t = jax.random.randint(t_rng, (batch,), 0, num_steps)
+    ab = alpha_bar.astype(clean.dtype)[t].reshape(batch, 1, 1, 1)
+    noise = jax.random.normal(n_rng, clean.shape, clean.dtype)
+    if sig_mask is not None:
+        noise = noise * jnp.sqrt(sig_mask)
+
+    if mode == "pirorgrad":
+        x_t = jnp.sqrt(ab) * (clean - x_init) + jnp.sqrt(1.0 - ab) * noise
+    elif mode == "deltamu":
+        x_t = jnp.sqrt(ab) * clean + jnp.sqrt(1.0 - ab) * (noise + x_init)
+    elif mode == "conditional":
+        x_t = jnp.sqrt(ab) * clean + jnp.sqrt(1.0 - ab) * noise
+    else:
+        raise ValueError(f"unknown diffusion mode {mode!r}")
+    return x_t, noise, t

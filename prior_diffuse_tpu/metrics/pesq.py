@@ -1,0 +1,57 @@
+"""PESQ wrapper (optional dependency).
+
+The ``pesq`` C binding is not in this image; the reference treats PESQ
+failures as soft (swallowed per-utterance, ``utils/metrics.py:449-450``).
+We mirror that: when unavailable, :func:`pesq_score` returns ``None``
+and the composite regression uses 0.0 for the PESQ term.
+
+Includes the reference's narrowband raw-MOS remap for fs < 16 kHz
+(``utils/metrics.py:433-448``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+try:  # pragma: no cover - depends on image contents
+    from pesq import pesq as _pesq_inner
+    from pesq import PesqError as _PesqError
+
+    HAVE_PESQ = True
+except ImportError:  # pragma: no cover
+    _pesq_inner = None
+    _PesqError = Exception
+    HAVE_PESQ = False
+
+
+def _nb_remap(mos: float) -> float:
+    return 46607 / 14945 - (2000 * np.log(1 / (mos / 4 - 999 / 4000) - 1)) / 2989
+
+
+def pesq_score(
+    clean: np.ndarray, processed: np.ndarray, fs: int
+) -> Optional[float]:
+    """Wideband PESQ MOS, or ``None`` when the binding is unavailable or
+    PESQ rejects the pair."""
+    if not HAVE_PESQ:
+        return None
+    from scipy.signal import resample
+
+    try:
+        if fs == 8000:
+            return _nb_remap(_pesq_inner(fs, clean, processed, "nb"))
+        if fs == 16000:
+            return float(_pesq_inner(fs, clean, processed, "wb"))
+        if fs > 16000:
+            n = round(len(clean) / fs * 16000)
+            return float(
+                _pesq_inner(16000, resample(clean, n), resample(processed, n), "wb")
+            )
+        n = round(len(clean) / fs * 8000)
+        return _nb_remap(
+            _pesq_inner(8000, resample(clean, n), resample(processed, n), "nb")
+        )
+    except _PesqError:
+        return None

@@ -1,0 +1,98 @@
+"""GRN — magnitude-mask prior (gated residual network).
+
+Re-design of the reference GRN (``model/grn.py:8-72``): 4 dilated 5x5
+conv2d stages, a 1x1 conv1d to 256 channels over time, 18 GLU residual
+blocks (3 groups x dilations 1..32, kernel 7), sum of all block outputs
+added back, conv1d head to a sigmoid mask.
+
+Layout: magnitude ``[B, T, F=161] -> [B, T, 161]`` (returns
+``input * mask``).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from prior_diffuse_tpu.models import layers as tl
+from prior_diffuse_tpu.registry import MODELS
+
+ELU = jax.nn.elu
+
+
+class GLU(nn.Module):
+    """1-D gated residual block (model/grn.py:76-113); in ``[B, T, 256]``.
+
+    Returns ``(activated_residual, block_output)`` — the block outputs
+    are summed into the trunk by the caller.
+    """
+
+    dilation: int
+    causal: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        bn = lambda name: tl.BatchNorm(use_running_average=not train, name=name)
+        inp = x
+        x = tl.conv1d(64, 1, name="in_conv")(x)
+        x = bn("in_bn")(x)
+        pad = (
+            ((6 * self.dilation, 0),)
+            if self.causal
+            else ((3 * self.dilation, 3 * self.dilation),)
+        )
+        left = ELU(x)
+        left = tl.conv1d(64, 7, dilation=self.dilation, padding=pad, name="left_conv")(left)
+        left = bn("left_bn")(left)
+        right = ELU(x)
+        right = tl.conv1d(64, 7, dilation=self.dilation, padding=pad, name="right_conv")(right)
+        right = jax.nn.sigmoid(bn("right_bn")(right))
+        x = left * right
+        x = tl.conv1d(256, 1, name="out_conv")(x)
+        x = bn("out_bn")(x)
+        out = x
+        return ELU(x + inp), out
+
+
+@MODELS.register("GRN")
+class GRN(nn.Module):
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bn = lambda name: tl.BatchNorm(use_running_average=not train, name=name)
+        inp = x  # [B, T, 161]
+        h = x[..., None]  # [B, T, F, 1]
+        # dilated front-end (dilation along freq: 1, 1, 2, 4)
+        h = ELU(tl.conv2d(16, (5, 5), padding=((2, 2), (2, 2)), name="dila1")(h))
+        h = ELU(tl.conv2d(16, (5, 5), padding=((2, 2), (2, 2)), name="dila2")(h))
+        h = ELU(
+            tl.conv2d(
+                32, (5, 5), dilation=(1, 2), padding=((2, 2), (4, 4)), name="dila3"
+            )(h)
+        )
+        h = ELU(
+            tl.conv2d(
+                32, (5, 5), dilation=(1, 4), padding=((2, 2), (8, 8)), name="dila4"
+            )(h)
+        )
+        # flatten (C, F) c-major like the reference permute+reshape
+        b, t, f, c = h.shape
+        h = h.transpose(0, 1, 3, 2).reshape(b, t, c * f)  # [B, T, 5152]
+        h = tl.conv1d(256, 1, name="conv1d_in")(h)
+        h = jax.nn.relu(bn("bn_in")(h))
+
+        outs = []
+        for g in range(3):
+            for i in range(6):
+                h, out = GLU(2**i, name=f"glu_{g}_{i}")(h, train)
+                outs.append(out)
+        for out in outs:
+            h = h + out
+
+        h = tl.conv1d(256, 1, name="conv1d_3")(h)
+        h = ELU(bn("bn3")(h))
+        h = tl.conv1d(128, 1, name="conv1d_4")(h)
+        h = bn("bn4")(h)
+        h = tl.conv1d(161, 1, name="conv1d_5")(h)
+        mask = jax.nn.sigmoid(bn("bn5")(h))  # [B, T, 161]
+        return inp * mask

@@ -1,0 +1,323 @@
+"""Shared building blocks for the model zoo.
+
+Everything is flax.linen, channels-last (NHWC: ``[B, T, F, C]`` for 2-D
+convs, ``[B, T, C]`` for 1-D).  Parameter *shapes* match the reference's
+torch modules one-to-one (including torch's separate ``b_ih``/``b_hh``
+recurrent biases) so parameter counts are comparable layer by layer;
+initializers are JAX-idiomatic (lecun-normal / zeros).
+
+TPU notes:
+* recurrent cells precompute the input projection for the whole
+  sequence as one big matmul (MXU), scanning only the ``h @ W_hh``
+  recurrence;
+* conv-transpose is implemented via ``lax.conv_general_dilated`` with
+  LHS dilation so output-padding semantics are explicit.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+def silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+class PReLU(nn.Module):
+    """torch-style PReLU: one learnable slope, or one per channel."""
+
+    num_parameters: int = 1
+    init: float = 0.25
+
+    @nn.compact
+    def __call__(self, x):
+        a = self.param(
+            "alpha",
+            lambda k, s: jnp.full(s, self.init, jnp.float32),
+            (self.num_parameters,),
+        )
+        if self.num_parameters > 1:
+            # broadcast over the channel (last) axis
+            a = a.reshape((1,) * (x.ndim - 1) + (self.num_parameters,))
+        return jnp.where(x >= 0, x, a * x)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm over all but the channel (last) axis, torch semantics
+    (momentum 0.1 -> flax momentum 0.9, eps 1e-5, affine + running stats).
+
+    Cross-replica behavior: pass ``axis_name='dp'`` to sync batch stats
+    across a data-parallel mesh (the reference is single-GPU; syncing is
+    the multi-chip-correct generalization).
+    """
+
+    use_running_average: Optional[bool] = None
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None):
+        ura = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        return nn.BatchNorm(
+            use_running_average=ura,
+            momentum=0.9,
+            epsilon=1e-5,
+            axis_name=self.axis_name,
+        )(x)
+
+
+def conv2d(
+    features: int,
+    kernel: Tuple[int, int],
+    strides: Tuple[int, int] = (1, 1),
+    dilation: Tuple[int, int] = (1, 1),
+    padding="VALID",
+    name: Optional[str] = None,
+) -> nn.Conv:
+    return nn.Conv(
+        features,
+        kernel_size=kernel,
+        strides=strides,
+        kernel_dilation=dilation,
+        padding=padding,
+        name=name,
+    )
+
+
+def conv1d(
+    features: int,
+    kernel: int,
+    strides: int = 1,
+    dilation: int = 1,
+    padding="VALID",
+    name: Optional[str] = None,
+) -> nn.Conv:
+    return nn.Conv(
+        features,
+        kernel_size=(kernel,),
+        strides=(strides,),
+        kernel_dilation=(dilation,),
+        padding=padding,
+        name=name,
+    )
+
+
+class ConvTranspose2d(nn.Module):
+    """Fractionally-strided conv with torch ConvTranspose2d shape
+    semantics: ``out = (in - 1)*stride + kernel + output_padding``
+    (padding=0).  Implemented as an LHS-dilated convolution."""
+
+    features: int
+    kernel: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    output_padding: Tuple[int, int] = (0, 0)
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel
+        sh, sw = self.strides
+        oph, opw = self.output_padding
+        in_ch = x.shape[-1]
+        w = self.param(
+            "kernel", nn.initializers.lecun_normal(), (kh, kw, in_ch, self.features)
+        )
+        b = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        y = jax.lax.conv_general_dilated(
+            x,
+            w,
+            window_strides=(1, 1),
+            padding=((kh - 1, kh - 1 + oph), (kw - 1, kw - 1 + opw)),
+            lhs_dilation=(sh, sw),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + b
+
+
+class Dense(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Dense(self.features)(x)
+
+
+class LSTM(nn.Module):
+    """Single-layer unidirectional LSTM, torch parameterization
+    (``W_ih [4h, in]``, ``W_hh [4h, h]``, separate ``b_ih``/``b_hh``).
+
+    Input ``[B, T, in] -> [B, T, h]``.  The input projection for the
+    whole sequence runs as one matmul; the scan carries only the
+    recurrence.
+    """
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = self.hidden
+        in_dim = x.shape[-1]
+        w_ih = self.param("w_ih", nn.initializers.lecun_normal(), (in_dim, 4 * h))
+        w_hh = self.param("w_hh", nn.initializers.orthogonal(), (h, 4 * h))
+        b_ih = self.param("b_ih", nn.initializers.zeros_init(), (4 * h,))
+        b_hh = self.param("b_hh", nn.initializers.zeros_init(), (4 * h,))
+
+        xw = jnp.einsum("bti,ij->btj", x, w_ih) + b_ih + b_hh  # [B, T, 4h]
+
+        def step(carry, xt):
+            hprev, cprev = carry
+            gates = xt + hprev @ w_hh
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+            c = f * cprev + i * jnp.tanh(g)
+            hnew = o * jnp.tanh(c)
+            return (hnew, c), hnew
+
+        batch = x.shape[0]
+        init = (
+            jnp.zeros((batch, h), x.dtype),
+            jnp.zeros((batch, h), x.dtype),
+        )
+        _, ys = jax.lax.scan(step, init, jnp.swapaxes(xw, 0, 1))
+        return jnp.swapaxes(ys, 0, 1)
+
+
+class GRU(nn.Module):
+    """Single-layer GRU, torch parameterization (gate order r, z, n;
+    ``b_hn`` applied inside the reset gate).  Optionally bidirectional
+    (output ``[B, T, 2h]``)."""
+
+    hidden: int
+    bidirectional: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        h = self.hidden
+        in_dim = x.shape[-1]
+
+        def direction(name, xs):
+            w_ih = self.param(
+                f"w_ih_{name}", nn.initializers.lecun_normal(), (in_dim, 3 * h)
+            )
+            w_hh = self.param(
+                f"w_hh_{name}", nn.initializers.orthogonal(), (h, 3 * h)
+            )
+            b_ih = self.param(f"b_ih_{name}", nn.initializers.zeros_init(), (3 * h,))
+            b_hh = self.param(f"b_hh_{name}", nn.initializers.zeros_init(), (3 * h,))
+
+            xw = jnp.einsum("bti,ij->btj", xs, w_ih) + b_ih  # [B, T, 3h]
+
+            def step(hprev, xt):
+                hw = hprev @ w_hh + b_hh
+                xr, xz, xn = jnp.split(xt, 3, axis=-1)
+                hr, hz, hn = jnp.split(hw, 3, axis=-1)
+                r = jax.nn.sigmoid(xr + hr)
+                z = jax.nn.sigmoid(xz + hz)
+                n = jnp.tanh(xn + r * hn)
+                hnew = (1.0 - z) * n + z * hprev
+                return hnew, hnew
+
+            init = jnp.zeros((xs.shape[0], h), xs.dtype)
+            _, ys = jax.lax.scan(step, init, jnp.swapaxes(xw, 0, 1))
+            return jnp.swapaxes(ys, 0, 1)
+
+        fwd = direction("fwd", x)
+        if not self.bidirectional:
+            return fwd
+        bwd = direction("bwd", jnp.flip(x, axis=1))
+        return jnp.concatenate([fwd, jnp.flip(bwd, axis=1)], axis=-1)
+
+
+class MultiHeadAttention(nn.Module):
+    """torch ``nn.MultiheadAttention``-shaped self-attention:
+    packed qkv in-projection ``[d, 3d] (+ 3d bias)`` and out-projection
+    ``[d, d] (+ d bias)``.  Input/output ``[B, L, d]``."""
+
+    d_model: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.d_model
+        nh = self.num_heads
+        hd = d // nh
+        w_in = self.param("w_in", nn.initializers.lecun_normal(), (d, 3 * d))
+        b_in = self.param("b_in", nn.initializers.zeros_init(), (3 * d,))
+        w_out = self.param("w_out", nn.initializers.lecun_normal(), (d, d))
+        b_out = self.param("b_out", nn.initializers.zeros_init(), (d,))
+
+        qkv = x @ w_in + b_in
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):  # [B, L, d] -> [B, nh, L, hd]
+            b, l, _ = t.shape
+            return t.reshape(b, l, nh, hd).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd).astype(x.dtype)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        b, _, l, _ = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
+        return out @ w_out + b_out
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm over the last axis (torch ``nn.LayerNorm(dim)``)."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.LayerNorm(epsilon=self.epsilon)(x)
+
+
+class TimeEmbedding(nn.Module):
+    """DiffWave sinusoidal timestep embedding with linear interpolation
+    for fractional steps (reference ``model/diff3.py:62-95``): table
+    ``[max_steps, 128]`` of ``sin/cos(t * 10^(dim*4/63))``, then two
+    Dense->SiLU to 512."""
+
+    max_steps: int
+
+    def setup(self):
+        import numpy as np
+
+        steps = np.arange(self.max_steps)[:, None]  # [S, 1]
+        dims = np.arange(64)[None, :]  # [1, 64]
+        table = steps * 10.0 ** (dims * 4.0 / 63.0)
+        self.table = jnp.asarray(
+            np.concatenate([np.sin(table), np.cos(table)], axis=1),
+            jnp.float32,
+        )  # [S, 128]
+        self.proj1 = nn.Dense(512)
+        self.proj2 = nn.Dense(512)
+
+    def __call__(self, t):
+        """``t [B]`` float (fractional allowed) or int -> ``[B, 512]``."""
+        if jnp.issubdtype(t.dtype, jnp.integer):
+            x = self.table[t]
+        else:
+            low = jnp.floor(t).astype(jnp.int32)
+            high = jnp.ceil(t).astype(jnp.int32)
+            frac = (t - low)[:, None]
+            x = self.table[low] + (self.table[high] - self.table[low]) * frac
+        x = silu(self.proj1(x))
+        return silu(self.proj2(x))
+
+
+def pad_time_causal(x: jnp.ndarray, amount: int = 1) -> jnp.ndarray:
+    """Zero-pad ``amount`` frames at the start of the time axis of
+    ``[B, T, F, C]`` (the reference's ``ConstantPad2d((0,0,1,0))``)."""
+    return jnp.pad(x, ((0, 0), (amount, 0), (0, 0), (0, 0)))
+
+
+def chomp_time_end(x: jnp.ndarray, amount: int = 1) -> jnp.ndarray:
+    """Drop ``amount`` frames from the end of the time axis (Chomp_T)."""
+    return x[:, :-amount] if amount else x

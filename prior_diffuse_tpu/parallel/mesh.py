@@ -1,0 +1,55 @@
+"""Device mesh + sharding utilities.
+
+The reference is single-process/single-GPU (raw ``.cuda()`` placement,
+``trainer/complex_ddpm_trainer.py:69-75``); the TPU-native scaling story
+is GSPMD: a ``jax.sharding.Mesh`` with a data-parallel axis (``dp``) and
+an optional model axis (``mp``, off by default — the largest layer here
+is a 1024-wide GLSTM, SURVEY 2.8), ``NamedSharding`` annotations on the
+jit boundary, and XLA-inserted collectives over ICI.
+
+Under GSPMD a sharded-batch jit computes *global* batch statistics for
+BatchNorm and global loss means automatically — the multi-chip
+generalization of the reference's single-device semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def device_count() -> int:
+    return jax.device_count()
+
+
+def make_mesh(
+    dp: Optional[int] = None, mp: int = 1, devices=None
+) -> Mesh:
+    """1-D (dp) or 2-D (dp, mp) mesh over the available devices.
+
+    ``dp=None`` uses all devices (divided by ``mp``).
+    """
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if dp is None:
+        dp = len(devices) // mp
+    devices = devices[: dp * mp].reshape(dp, mp)
+    return Mesh(devices, ("dp", "mp"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over dp, replicate the rest."""
+    return NamedSharding(mesh, P("dp"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch_arrays(mesh: Mesh, *arrays):
+    """Device-put host arrays with the batch axis sharded over dp."""
+    sh = batch_sharding(mesh)
+    out = tuple(jax.device_put(a, sh) for a in arrays)
+    return out if len(out) > 1 else out[0]

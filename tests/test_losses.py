@@ -1,0 +1,121 @@
+"""Loss parity vs independently-written torch implementations of the
+reference formulas (ragged pad_sequence masks), on random ragged batches."""
+
+import numpy as np
+import pytest
+import torch
+import jax.numpy as jnp
+
+from prior_diffuse_tpu import losses as L
+
+
+def _torch_mask(frames, T, F):
+    m = torch.zeros(len(frames), T, F)
+    for i, n in enumerate(frames):
+        m[i, :n, :] = 1.0
+    return m
+
+
+def _ref_mag_mse(e, l, frames):
+    m = _torch_mask(frames, e.shape[1], e.shape[2])
+    return float((((e - l) * m) ** 2).sum() / m.sum())
+
+
+def _ref_com_mse(e, l, frames):  # e,l: [B,2,T,F]
+    m = _torch_mask(frames, e.shape[2], e.shape[3])
+    cm = torch.stack((m, m), dim=1)
+    return float((((e - l) * cm) ** 2).sum() / cm.sum())
+
+
+def _ref_com_mag_mse(e, l, frames):
+    m = _torch_mask(frames, e.shape[2], e.shape[3])
+    cm = torch.stack((m, m), dim=1)
+    mag_e, mag_l = torch.norm(e, dim=1), torch.norm(l, dim=1)
+    l1 = (((e - l) * cm) ** 2).sum() / cm.sum()
+    l2 = (((mag_e - mag_l) * m) ** 2).sum() / m.sum()
+    return float(0.5 * (l1 + l2))
+
+
+def _ref_com_mse_sigma(e, l, frames, mask):
+    m = _torch_mask(frames, e.shape[2], e.shape[3])
+    cm = torch.stack((m, m), dim=1)
+    return float(((e - l) * cm / mask * (e - l) * cm).sum() / cm.sum())
+
+
+def _to_ours(x_bctf):
+    return jnp.asarray(np.moveaxis(x_bctf.numpy(), 1, -1))
+
+
+@pytest.fixture
+def ragged(rng):
+    B, T, F = 3, 17, 161
+    frames = [17, 9, 13]
+    e = torch.from_numpy(rng.standard_normal((B, 2, T, F)).astype(np.float32))
+    l = torch.from_numpy(rng.standard_normal((B, 2, T, F)).astype(np.float32))
+    return e, l, frames
+
+
+def test_mag_mse(ragged, rng):
+    e, l, frames = ragged
+    em, lm = torch.norm(e, dim=1), torch.norm(l, dim=1)
+    want = _ref_mag_mse(em, lm, frames)
+    got = float(
+        L.mag_mse_loss(jnp.asarray(em.numpy()), jnp.asarray(lm.numpy()),
+                       jnp.asarray(frames))
+    )
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_mag_mae(ragged):
+    e, l, frames = ragged
+    em, lm = torch.norm(e, dim=1), torch.norm(l, dim=1)
+    m = _torch_mask(frames, em.shape[1], em.shape[2])
+    want = float((((em - lm) * m).abs()).sum() / m.sum())
+    got = float(
+        L.mag_mae_loss(jnp.asarray(em.numpy()), jnp.asarray(lm.numpy()),
+                       jnp.asarray(frames))
+    )
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_com_mse(ragged):
+    e, l, frames = ragged
+    want = _ref_com_mse(e, l, frames)
+    got = float(L.com_mse_loss(_to_ours(e), _to_ours(l), jnp.asarray(frames)))
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_com_mag_mse(ragged):
+    e, l, frames = ragged
+    want = _ref_com_mag_mse(e, l, frames)
+    got = float(
+        L.com_mag_mse_loss(_to_ours(e), _to_ours(l), jnp.asarray(frames))
+    )
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_com_mse_sigma(ragged, rng):
+    e, l, frames = ragged
+    mask = torch.from_numpy(
+        (rng.random((3, 2, 17, 161)) / 2 + 0.5).astype(np.float32)
+    )
+    want = _ref_com_mse_sigma(e, l, frames, mask)
+    got = float(
+        L.com_mse_sigma_loss(
+            _to_ours(e), _to_ours(l), jnp.asarray(frames), _to_ours(mask)
+        )
+    )
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_losses_registered():
+    from prior_diffuse_tpu.registry import LOSSES
+
+    for name in [
+        "mag_mse_loss",
+        "mag_mae_loss",
+        "com_mse_loss",
+        "com_mse_sigma_loss",
+        "com_mag_mse_loss",
+    ]:
+        assert name in LOSSES
