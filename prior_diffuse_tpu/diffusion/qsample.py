@@ -22,7 +22,8 @@ def sigma_mask(x_init: jnp.ndarray) -> jnp.ndarray:
     i.e. over (T, F) per channel.
     """
     a = jnp.abs(x_init)
-    m = jnp.max(a, axis=(1, 2), keepdims=True)
+    # tiny floor: all-zero (padded) batch rows would otherwise yield 0/0
+    m = jnp.maximum(jnp.max(a, axis=(1, 2), keepdims=True), 1e-12)
     return a / m / 2.0 + 0.5
 
 

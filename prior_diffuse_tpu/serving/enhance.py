@@ -1,0 +1,91 @@
+"""Whole-file enhancement (the reference's ``generate_wav`` paths).
+
+The reference enhances file-by-file at batch size 1 with CPU STFT and
+CPU ISTFT boundaries (``trainer/complex_ddpm_trainer.py:903-1018``).
+TPU-first redesign: files are length-sorted into padded buckets and the
+entire wav -> STFT -> prior -> scan-sampler -> ISTFT -> wav path runs
+on device per bucket; only decode and write stay on host.
+
+Any trainer exposing ``enhance_batch(noisy_padded, lengths, rng)`` can
+serve through these helpers (DDPM, complex dis-only, magnitude).
+"""
+
+from __future__ import annotations
+
+import glob
+import logging
+import os
+import time
+from typing import List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from prior_diffuse_tpu.data.wavio import read_wav, write_wav
+
+
+def _buckets(lengths: Sequence[int], batch_size: int, bucket_samples: int):
+    order = np.argsort(lengths)
+    for i in range(0, len(order), batch_size):
+        idx = order[i : i + batch_size]
+        pad_to = -(-max(lengths[j] for j in idx) // bucket_samples) * bucket_samples
+        yield idx, pad_to
+
+
+def enhance_waveform(trainer, wav: np.ndarray, rng) -> np.ndarray:
+    """Enhance one waveform (RMS-normalize, run the model pipeline,
+    restore scale)."""
+    out = enhance_files(trainer, [wav], rng)
+    return out[0]
+
+
+def enhance_files(trainer, wavs: List[np.ndarray], rng,
+                  batch_size: Optional[int] = None,
+                  bucket_samples: int = 16000) -> List[np.ndarray]:
+    """Enhance a list of waveforms; returns same-length enhanced wavs."""
+    batch_size = batch_size or trainer.cfg.batch_size
+    lengths = [len(w) for w in wavs]
+    results: List[Optional[np.ndarray]] = [None] * len(wavs)
+    for idx, pad_to in _buckets(lengths, batch_size, bucket_samples):
+        batch = np.zeros((len(idx), pad_to), np.float32)
+        scales = np.zeros(len(idx), np.float32)
+        for row, j in enumerate(idx):
+            w = wavs[j]
+            c = np.sqrt(np.sum(w.astype(np.float64) ** 2) / len(w))
+            c = max(float(c), 1e-12)
+            batch[row, : len(w)] = w / c
+            scales[row] = c
+        rng, step_rng = jax.random.split(rng)
+        out = np.asarray(
+            trainer.enhance_batch(batch, step_rng)
+        )  # [B, pad_to]
+        for row, j in enumerate(idx):
+            results[j] = (out[row, : lengths[j]] * scales[row]).astype(np.float32)
+    return results  # type: ignore[return-value]
+
+
+def enhance_directory(trainer, data_path: str, out_dir: str, rng,
+                      batch_size: Optional[int] = None) -> float:
+    """Enhance every wav under ``data_path`` into ``out_dir``.
+
+    Returns the realtime factor achieved (audio seconds per wall
+    second) for observability.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    paths = sorted(glob.glob(os.path.join(data_path, "*.wav")))
+    if not paths:
+        raise FileNotFoundError(f"no wavs under {data_path}")
+    wavs = [read_wav(p, trainer.cfg.sample_rate)[0] for p in paths]
+    t0 = time.time()
+    enhanced = enhance_files(trainer, wavs, rng, batch_size)
+    wall = time.time() - t0
+    for p, w in zip(paths, enhanced):
+        write_wav(os.path.join(out_dir, os.path.basename(p)), w,
+                  trainer.cfg.sample_rate)
+    audio_sec = sum(len(w) for w in wavs) / trainer.cfg.sample_rate
+    rtf = audio_sec / wall if wall > 0 else float("inf")
+    logging.info(
+        "enhanced %d files (%.1f s audio) in %.2f s -> RTF %.1fx",
+        len(paths), audio_sec, wall, rtf,
+    )
+    return rtf

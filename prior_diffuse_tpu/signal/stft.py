@@ -48,7 +48,7 @@ def frame_count(wav_len: int, win_size: int = 320, fft_num: int = 320,
 
 
 @functools.lru_cache(maxsize=8)
-def dft_matrices(fft_num: int = 320, dtype=jnp.float32):
+def _dft_matrices_np(fft_num: int = 320):
     """Forward/backward real-DFT matrices.
 
     Returns ``(fwd, inv)`` where
@@ -72,7 +72,14 @@ def dft_matrices(fft_num: int = 320, dtype=jnp.float32):
     inv_re = (w[:, None] * np.cos(ang.T)) / fft_num  # [F, fft]
     inv_im = (-w[:, None] * np.sin(ang.T)) / fft_num  # [F, fft]
     inv = np.concatenate([inv_re, inv_im], axis=0)  # [2F, fft]
-    return (jnp.asarray(fwd, dtype=dtype), jnp.asarray(inv, dtype=dtype))
+    return fwd, inv
+
+
+def dft_matrices(fft_num: int = 320, dtype=jnp.float32):
+    # numpy is cached; the jnp conversion happens per call so no traced
+    # array is ever captured by the cache (tracer-leak safe under jit)
+    fwd, inv = _dft_matrices_np(fft_num)
+    return jnp.asarray(fwd, dtype=dtype), jnp.asarray(inv, dtype=dtype)
 
 
 def _frame_centered(x: jnp.ndarray, win_size: int, hop: int) -> jnp.ndarray:

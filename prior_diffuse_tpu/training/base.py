@@ -1,0 +1,154 @@
+"""Shared trainer scaffolding.
+
+The reference duplicates its epoch/eval/LR/checkpoint scaffold across
+three trainers (SURVEY 2.6); here it lives once.  Trainers are thin
+stateful drivers around jitted functional cores:
+
+* device work (STFT, compression, model, sampler, loss) is one jit per
+  (step-kind, shape-bucket), with the batch sharded over the mesh's
+  ``dp`` axis and the state replicated (GSPMD);
+* host work (wav decode, metric scoring, checkpointing, LR control)
+  stays in numpy.
+
+NaN guard: the reference hard-aborts on NaN train loss
+(``trainer/complex_ddpm_trainer.py:397-398``); we do the same check
+host-side once per step on the already-fetched scalar.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import prior_diffuse_tpu.losses  # noqa: F401  (register losses)
+import prior_diffuse_tpu.models  # noqa: F401  (register models)
+from prior_diffuse_tpu.config import ExperimentConfig, RunConfig
+from prior_diffuse_tpu.data import EvalLoader, PairedWavDataset, TrainLoader
+from prior_diffuse_tpu.parallel import batch_sharding, make_mesh, replicated
+from prior_diffuse_tpu.signal.compress import compress_spec, mag_phase
+from prior_diffuse_tpu.signal.stft import stft
+from prior_diffuse_tpu.training.checkpoint import CheckpointStore
+from prior_diffuse_tpu.training.plateau import PlateauController
+from prior_diffuse_tpu.utils.logging import MetricsLogger
+
+
+def spec_features(wav: jnp.ndarray, cfg) -> jnp.ndarray:
+    """waveform [B, L] -> compressed complex spectrum [B, T, F, 2]
+    (collate STFT of utils/dataset.py:61-74 + the trainers' compression
+    block, fused on device)."""
+    return compress_spec(
+        stft(wav, cfg.fft_num, cfg.win_size, cfg.win_shift), cfg.feat_type
+    )
+
+
+def mag_features(wav: jnp.ndarray, cfg):
+    """-> (compressed magnitude [B, T, F], phase [B, T, F])."""
+    spec = stft(wav, cfg.fft_num, cfg.win_size, cfg.win_shift)
+    feat = compress_spec(spec, cfg.feat_type)
+    return mag_phase(feat)
+
+
+class TrainerBase:
+    """Dataset/loader/mesh/checkpoint plumbing shared by all trainers."""
+
+    def __init__(
+        self,
+        run: RunConfig,
+        exp: ExperimentConfig,
+        mesh=None,
+        metrics_logger: Optional[MetricsLogger] = None,
+    ):
+        self.run = run
+        self.exp = exp
+        self.cfg = exp.train
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.batch_shard = batch_sharding(self.mesh)
+        self.replicated = replicated(self.mesh)
+        self.metrics = metrics_logger or MetricsLogger(run.log_dir)
+        self.ckpt = CheckpointStore(run.checkpoint_dir)
+        self.plateau = PlateauController(
+            half_lr=exp.optim.half_lr, early_stop=exp.optim.early_stop
+        )
+        self.epoch = 0
+        self.step = 0
+
+        root = run.data_root
+        self.tr_dataset = PairedWavDataset(
+            f"{root}/noisy_trainset_wav",
+            f"{root}/clean_trainset_wav",
+            chunk_length=self.cfg.chunk_length,
+            win_size=self.cfg.win_size,
+            fft_num=self.cfg.fft_num,
+            win_shift=self.cfg.win_shift,
+            sample_rate=self.cfg.sample_rate,
+        )
+        self.cv_dataset = PairedWavDataset(
+            f"{root}/noisy_testset_wav",
+            f"{root}/clean_testset_wav",
+            chunk_length=self.cfg.chunk_length,
+            win_size=self.cfg.win_size,
+            fft_num=self.cfg.fft_num,
+            win_shift=self.cfg.win_shift,
+            sample_rate=self.cfg.sample_rate,
+        )
+        logging.info("Total %d train data.", len(self.tr_dataset))
+        logging.info("Total %d eval data.", len(self.cv_dataset))
+        self.tr_loader = TrainLoader(
+            self.tr_dataset, self.cfg.batch_size, seed=run.seed
+        )
+        self.cv_loader = EvalLoader(
+            self.cv_dataset, self.cfg.batch_size, drop_last=True
+        )
+
+    # ---- device placement -------------------------------------------------
+    def put_batch(self, *arrays):
+        """Device-put with the batch axis sharded over ``dp``.
+
+        Batches whose size does not divide the mesh are zero-padded with
+        rows of ``frame_num`` 0 — loss-masked out and skipped by metric
+        scoring, so values are unchanged (BatchNorm batch statistics see
+        the pad rows; this only occurs for ragged final eval batches).
+        """
+        dp = self.mesh.shape["dp"]
+        out = []
+        for a in arrays:
+            a = np.asarray(a)
+            rem = (-a.shape[0]) % dp
+            if rem:
+                a = np.concatenate(
+                    [a, np.zeros((rem,) + a.shape[1:], a.dtype)], axis=0
+                )
+            out.append(jax.device_put(a, self.batch_shard))
+        return tuple(out)
+
+    def put_replicated(self, tree):
+        return jax.device_put(tree, self.replicated)
+
+    # ---- epoch-driver helpers --------------------------------------------
+    def check_nan(self, loss: float):
+        if not np.isfinite(loss):
+            raise RuntimeError(f"Detected NaN loss at step {self.step}.")
+
+    def log_eval(self, prefix: str, loss: float, metrics6) -> None:
+        csig, cbak, covl, pesq, ssnr, stoi = metrics6
+        self.metrics.log(
+            {
+                f"{prefix}_loss": loss,
+                f"{prefix}_mean_csig": csig,
+                f"{prefix}_mean_cbak": cbak,
+                f"{prefix}_mean_covl": covl,
+                f"{prefix}_mean_pesq": pesq,
+                f"{prefix}_mean_ssnr": ssnr,
+                f"{prefix}_mean_stoi": stoi,
+            },
+            step=self.step,
+        )
+        logging.info(
+            "%s: loss %.5f csig %.3f cbak %.3f covl %.3f pesq %.3f ssnr %.3f stoi %.3f",
+            prefix, loss, csig, cbak, covl, pesq, ssnr, stoi,
+        )

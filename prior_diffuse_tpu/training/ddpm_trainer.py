@@ -1,0 +1,375 @@
+"""ComplexDDPMTrainer — the full Prior-DiffuSE system.
+
+Re-design of the reference trainer (``trainer/complex_ddpm_trainer.py:23``):
+discriminative prior + residual DDPM, joint or DDPM-only training, with
+per-epoch full reverse-sampling evaluation, LR-halving on plateau for
+both optimizers, early stop, and best/per-epoch checkpointing.
+
+Functional core differences from the reference (deliberate, TPU-first):
+
+* the whole train step — STFT, compression, both model forwards,
+  q-sample, loss, backward, both optimizer updates — is **one jit**
+  with donated state;
+* in joint mode the reference runs the dis forward twice (once for the
+  loss, once detached, ``trainer/complex_ddpm_trainer.py:666-669``); we
+  run it once and ``stop_gradient`` the conditioning — identical math
+  and gradients, half the dis FLOPs (only the BN running-stat double
+  update is dropped);
+* the 6-step reverse sampling eval is a single ``lax.scan`` jit instead
+  of a Python loop of device calls.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from prior_diffuse_tpu.config import ExperimentConfig, RunConfig
+from prior_diffuse_tpu.diffusion import (
+    inference_schedule,
+    make_schedule,
+    q_sample,
+    reverse_sample,
+    sigma_mask,
+)
+from prior_diffuse_tpu.losses import com_mse_loss, com_mse_sigma_loss
+from prior_diffuse_tpu.metrics.compare import compare_complex
+from prior_diffuse_tpu.registry import LOSSES, MODELS, TRAINERS
+from prior_diffuse_tpu.training.base import TrainerBase, spec_features
+from prior_diffuse_tpu.training.optim import get_lr, set_lr, torch_adam
+
+
+def _mode(diff_cfg) -> str:
+    if diff_cfg.pirorgrad:
+        return "pirorgrad"
+    if diff_cfg.deltamu:
+        return "deltamu"
+    return "conditional"
+
+
+@TRAINERS.register("ComplexDDPMTrainer")
+class ComplexDDPMTrainer(TrainerBase):
+    def __init__(self, run: RunConfig, exp: ExperimentConfig, mesh=None,
+                 metrics_logger=None):
+        super().__init__(run, exp, mesh, metrics_logger)
+        diff = exp.diffusion
+        self.mode = _mode(diff)
+        self.c = diff.scale_c
+        self.sched = make_schedule(diff)
+        self.alpha_bar = jnp.asarray(self.sched.alpha_bar, jnp.float32)
+        self.num_steps = diff.num_steps
+
+        self.dis_model = MODELS.get(exp.model.name)()
+        # DDPM net is mode-determined, not config-named — the reference
+        # ignores conf model_ddpm.name (trainer/complex_ddpm_trainer.py:70-75)
+        ddpm_name = "Nocon" if self.mode == "deltamu" else "DiffUNet1"
+        self.ddpm_model = MODELS.get(ddpm_name)(num_steps=self.num_steps)
+        self.loss_fn = LOSSES.get(self.cfg.loss)
+
+        # init params
+        k = jax.random.PRNGKey(run.seed)
+        k_dis, k_ddpm, self.rng = jax.random.split(k, 3)
+        t_frames = self.cfg.chunk_length // self.cfg.win_shift + 1
+        dummy = jnp.zeros((1, t_frames, self.cfg.freq_bins, 2))
+        dis_vars = self.dis_model.init(k_dis, dummy)
+        if self.mode == "deltamu":
+            ddpm_vars = self.ddpm_model.init(k_ddpm, dummy, jnp.zeros((1,)))
+        else:
+            ddpm_vars = self.ddpm_model.init(k_ddpm, dummy, dummy, jnp.zeros((1,)))
+
+        self.tx_dis = torch_adam(exp.optim.lr, exp.optim.l2)
+        opt_ddpm_cfg = exp.optim_ddpm or exp.optim
+        self.tx_ddpm = torch_adam(opt_ddpm_cfg.lr, opt_ddpm_cfg.l2)
+
+        state = {
+            "dis": {
+                "params": dis_vars["params"],
+                "batch_stats": dis_vars.get("batch_stats", {}),
+            },
+            "ddpm": {
+                "params": ddpm_vars["params"],
+                "batch_stats": ddpm_vars.get("batch_stats", {}),
+            },
+        }
+        state["opt_dis"] = self.tx_dis.init(state["dis"]["params"])
+        state["opt_ddpm"] = self.tx_ddpm.init(state["ddpm"]["params"])
+        self.state = self.put_replicated(state)
+
+        self._train_step = jax.jit(
+            partial(self._train_step_impl, joint=run.joint, sigma=run.sigma),
+            static_argnames=("joint", "sigma"),
+            donate_argnums=(0,),
+        )
+        self._eval_step = jax.jit(
+            partial(self._eval_step_impl, sigma=run.sigma),
+            static_argnames=("sigma",),
+        )
+
+        if run.retrain:
+            restored = self.ckpt.restore_latest(
+                jax.tree.map(np.asarray, self.state)
+            )
+            if restored is not None:
+                self.state = self.put_replicated(restored)
+                last = self.ckpt.latest_epoch()
+                self.epoch = 0 if last is None else last + 1
+                logging.info("resumed at epoch %d", self.epoch)
+
+    # ---- functional cores -------------------------------------------------
+    def _dis_apply(self, variables, feat, train):
+        out = self.dis_model.apply(
+            {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]},
+            feat,
+            train=train,
+            mutable=["batch_stats"] if train else False,
+        )
+        if train:
+            y, updated = out
+            return y, updated.get("batch_stats", variables["batch_stats"])
+        return out, variables["batch_stats"]
+
+    def _ddpm_apply(self, variables, x, x_init, t, train):
+        args = (x, t) if self.mode == "deltamu" else (x, x_init, t)
+        out = self.ddpm_model.apply(
+            {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]},
+            *args,
+            train=train,
+            mutable=["batch_stats"] if train else False,
+        )
+        if train:
+            y, updated = out
+            return y, updated.get("batch_stats", variables["batch_stats"])
+        return out, variables["batch_stats"]
+
+    def _train_step_impl(self, state, noisy, clean, frame_nums, rng,
+                         *, joint: bool, sigma: bool):
+        cfg = self.cfg
+        feat = spec_features(noisy, cfg)
+        label = spec_features(clean, cfg)
+
+        def loss_of(params):
+            dis_vars = {"params": params["dis"],
+                        "batch_stats": state["dis"]["batch_stats"]}
+            dis_out, new_dis_stats = self._dis_apply(dis_vars, feat, train=True)
+            if joint:
+                loss_dis = self.loss_fn(dis_out, label, frame_nums)
+            else:
+                loss_dis = jnp.float32(0.0)
+            x_init = jax.lax.stop_gradient(dis_out) / self.c
+            lbl = label / self.c
+            sig = sigma_mask(x_init) if sigma else None
+            x_t, noise, t = q_sample(
+                rng, lbl, x_init, self.alpha_bar, self.num_steps,
+                self.mode, sig,
+            )
+            ddpm_vars = {"params": params["ddpm"],
+                         "batch_stats": state["ddpm"]["batch_stats"]}
+            cond = feat / self.c if self.mode == "conditional" else x_init
+            eps, new_ddpm_stats = self._ddpm_apply(
+                ddpm_vars, x_t, cond, t, train=True
+            )
+            if sigma:
+                loss_ddpm = com_mse_sigma_loss(eps, noise, frame_nums, sig)
+            else:
+                loss_ddpm = self.loss_fn(eps, noise, frame_nums)
+            total = cfg.lam * loss_ddpm + loss_dis
+            return total, (loss_dis, loss_ddpm, new_dis_stats, new_ddpm_stats)
+
+        params = {"dis": state["dis"]["params"], "ddpm": state["ddpm"]["params"]}
+        (total, (loss_dis, loss_ddpm, dis_stats, ddpm_stats)), grads = (
+            jax.value_and_grad(loss_of, has_aux=True)(params)
+        )
+
+        up_ddpm, opt_ddpm = self.tx_ddpm.update(
+            grads["ddpm"], state["opt_ddpm"], params["ddpm"]
+        )
+        new_ddpm = optax.apply_updates(params["ddpm"], up_ddpm)
+        if joint:
+            up_dis, opt_dis = self.tx_dis.update(
+                grads["dis"], state["opt_dis"], params["dis"]
+            )
+            new_dis = optax.apply_updates(params["dis"], up_dis)
+        else:
+            opt_dis = state["opt_dis"]
+            new_dis = params["dis"]
+
+        new_state = {
+            "dis": {"params": new_dis, "batch_stats": dis_stats},
+            "ddpm": {"params": new_ddpm, "batch_stats": ddpm_stats},
+            "opt_dis": opt_dis,
+            "opt_ddpm": opt_ddpm,
+        }
+        return new_state, total, loss_dis, loss_ddpm
+
+    def _eval_step_impl(self, state, noisy, clean, frame_nums, rng,
+                        *, sigma: bool):
+        cfg = self.cfg
+        feat = spec_features(noisy, cfg)
+        label = spec_features(clean, cfg)
+        x_init, _ = self._dis_apply(state["dis"], feat, train=False)
+        x_init = x_init / self.c
+        feat_sc = feat / self.c
+        sig = sigma_mask(x_init) if sigma else None
+        sched = inference_schedule(self.exp.diffusion)
+        cond = feat_sc if self.mode == "conditional" else x_init
+
+        def model_fn(x, t):
+            eps, _ = self._ddpm_apply(state["ddpm"], x, cond, t, train=False)
+            return eps
+
+        audio = reverse_sample(
+            model_fn, rng, x_init, x_init.shape, sched, self.mode, sig
+        )
+        audio = audio * self.c
+        loss = com_mse_loss(audio, label, frame_nums)
+        return audio, label, loss
+
+    # ---- drivers ----------------------------------------------------------
+    def train_epoch(self) -> float:
+        last = 0.0
+        for batch in self.tr_loader:
+            self.rng, step_rng = jax.random.split(self.rng)
+            noisy, clean, frames = self.put_batch(
+                batch.noisy, batch.clean, batch.frame_nums
+            )
+            self.state, total, loss_dis, loss_ddpm = self._train_step(
+                self.state, noisy, clean, frames, step_rng
+            )
+            total = float(total)
+            self.check_nan(total)
+            self.metrics.log(
+                {"dis_loss": float(loss_dis), "ddpm_loss": float(loss_ddpm),
+                 "loss_sum": total},
+                step=self.step,
+            )
+            self.step += 1
+            last = total
+        return last
+
+    def evaluate(self) -> float:
+        losses, results = [], []
+        for batch in self.cv_loader:
+            self.rng, step_rng = jax.random.split(self.rng)
+            noisy, clean, frames = self.put_batch(
+                batch.noisy, batch.clean, batch.frame_nums
+            )
+            audio, label, loss = self._eval_step(
+                self.state, noisy, clean, frames, step_rng
+            )
+            losses.append(float(loss))
+            results.append(
+                compare_complex(audio, label, batch.frame_nums, self.cfg.feat_type)
+            )
+        cv_loss = float(np.mean(losses))
+        self.log_eval("test", cv_loss, np.mean(np.asarray(results), axis=0))
+        return cv_loss
+
+    def _halve_lrs(self):
+        for name, tx in [("opt_dis", self.tx_dis), ("opt_ddpm", self.tx_ddpm)]:
+            lr = get_lr(self.state[name]) / 2.0
+            self.state[name] = set_lr(self.state[name], lr)
+            logging.info("Learning rate of %s adjusted to %f", name, lr)
+
+    def train_ddpm(self, max_epochs: Optional[int] = None,
+                   max_steps: Optional[int] = None):
+        """The reference's main loop (train + per-epoch sampling eval)."""
+        n_epochs = max_epochs or self.cfg.n_epochs
+        while self.epoch < n_epochs:
+            logging.info("Epoch %d", self.epoch)
+            if not self.run.eval:
+                for batch in self.tr_loader:
+                    if max_steps is not None and self.step >= max_steps:
+                        return
+                    self.rng, step_rng = jax.random.split(self.rng)
+                    noisy, clean, frames = self.put_batch(
+                        batch.noisy, batch.clean, batch.frame_nums
+                    )
+                    self.state, total, l_dis, l_ddpm = self._train_step(
+                        self.state, noisy, clean, frames, step_rng
+                    )
+                    total = float(total)
+                    self.check_nan(total)
+                    self.metrics.log(
+                        {"dis_loss": float(l_dis), "ddpm_loss": float(l_ddpm),
+                         "loss_sum": total},
+                        step=self.step,
+                    )
+                    self.step += 1
+            cv_loss = self.evaluate()
+            if self.run.eval:
+                return
+            halve, stop, is_best = self.plateau.update(cv_loss)
+            if halve:
+                self._halve_lrs()
+            host_state = jax.tree.map(np.asarray, self.state)
+            if is_best:
+                logging.info("new best cv loss %.5f; saving best", cv_loss)
+                self.ckpt.save_best(host_state)
+            self.ckpt.save_epoch(self.epoch, host_state)
+            self.epoch += 1
+            if stop:
+                logging.info("No improvement and apply early stop")
+                break
+
+    # parity alias: the reference dispatches train_ddpm from main
+    train = train_ddpm
+
+    def enhance_batch(self, noisy_padded, rng):
+        """Full on-device enhance of an RMS-normalized padded batch
+        ``[B, L] -> [B, L]`` (wav -> STFT -> prior -> scan sampler ->
+        decompress -> ISTFT)."""
+        if not hasattr(self, "_enhance_jit"):
+            from prior_diffuse_tpu.signal.compress import decompress_spec
+            from prior_diffuse_tpu.signal.stft import istft
+
+            def impl(state, wav, rng):
+                cfg = self.cfg
+                feat = spec_features(wav, cfg)
+                x_init, _ = self._dis_apply(state["dis"], feat, train=False)
+                x_init = x_init / self.c
+                sig = sigma_mask(x_init) if self.run.sigma else None
+                sched = inference_schedule(self.exp.diffusion)
+                cond = feat / self.c if self.mode == "conditional" else x_init
+
+                def model_fn(x, t):
+                    eps, _ = self._ddpm_apply(state["ddpm"], x, cond, t,
+                                              train=False)
+                    return eps
+
+                audio = reverse_sample(
+                    model_fn, rng, x_init, x_init.shape, sched, self.mode, sig
+                )
+                spec = decompress_spec(audio * self.c, cfg.feat_type)
+                return istft(spec, length=wav.shape[-1],
+                             fft_num=cfg.fft_num, win_size=cfg.win_size,
+                             win_shift=cfg.win_shift)
+
+            self._enhance_jit = jax.jit(impl)
+        wav = self.put_batch(noisy_padded)[0]
+        return self._enhance_jit(self.state, wav, rng)
+
+    def load_best(self):
+        restored = self.ckpt.restore_best(jax.tree.map(np.asarray, self.state))
+        if restored is not None:
+            self.state = self.put_replicated(restored)
+        return restored is not None
+
+    def generate_wav(self, load_pre_train: bool = True,
+                     data_path: Optional[str] = None,
+                     out_dir: Optional[str] = None):
+        from prior_diffuse_tpu.serving.enhance import enhance_directory
+
+        if load_pre_train:
+            self.load_best()
+        data_path = data_path or f"{self.run.data_root}/noisy_testset_wav"
+        out_dir = out_dir or self.run.generated_wav_dir
+        self.rng, rng = jax.random.split(self.rng)
+        return enhance_directory(self, data_path, out_dir, rng)

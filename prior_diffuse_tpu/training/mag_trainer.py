@@ -1,0 +1,191 @@
+"""MagTrainer — magnitude-domain training (GRN prior).
+
+Re-design of ``trainer/mag_trainer.py:15-236``: model consumes the
+compressed magnitude ``[B, T, F]``; evaluation reconstructs complex
+spectra with the **noisy phase** (reference lines 126-130) before
+metric scoring, and enhancement inverts with the noisy phase too.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from prior_diffuse_tpu.config import ExperimentConfig, RunConfig
+from prior_diffuse_tpu.metrics.compare import compare_complex
+from prior_diffuse_tpu.registry import LOSSES, MODELS, TRAINERS
+from prior_diffuse_tpu.signal.compress import from_mag_phase
+from prior_diffuse_tpu.training.base import TrainerBase, mag_features
+from prior_diffuse_tpu.training.optim import get_lr, set_lr, torch_adam
+
+
+@TRAINERS.register("MagTrainer")
+class MagTrainer(TrainerBase):
+    def __init__(self, run: RunConfig, exp: ExperimentConfig, mesh=None,
+                 metrics_logger=None):
+        super().__init__(run, exp, mesh, metrics_logger)
+        # reference CV loader keeps all utterances in MagTrainer
+        from prior_diffuse_tpu.data import EvalLoader
+
+        self.cv_loader = EvalLoader(self.cv_dataset, self.cfg.batch_size,
+                                    drop_last=False)
+        self.model = MODELS.get(exp.model.name)()
+        self.loss_fn = LOSSES.get(self.cfg.loss)
+
+        k = jax.random.PRNGKey(run.seed)
+        k_init, self.rng = jax.random.split(k)
+        t_frames = self.cfg.chunk_length // self.cfg.win_shift + 1
+        dummy = jnp.zeros((1, t_frames, self.cfg.freq_bins))
+        variables = self.model.init(k_init, dummy)
+        self.tx = torch_adam(exp.optim.lr, exp.optim.l2)
+        state = {
+            "model": {
+                "params": variables["params"],
+                "batch_stats": variables.get("batch_stats", {}),
+            },
+        }
+        state["opt"] = self.tx.init(state["model"]["params"])
+        self.state = self.put_replicated(state)
+
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+        if run.retrain:
+            restored = self.ckpt.restore_latest(jax.tree.map(np.asarray, self.state))
+            if restored is not None:
+                self.state = self.put_replicated(restored)
+                last = self.ckpt.latest_epoch()
+                self.epoch = 0 if last is None else last + 1
+
+    def _apply(self, variables, feat, train):
+        out = self.model.apply(
+            {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]},
+            feat,
+            train=train,
+            mutable=["batch_stats"] if train else False,
+        )
+        if train:
+            y, updated = out
+            return y, updated.get("batch_stats", variables["batch_stats"])
+        return out, variables["batch_stats"]
+
+    def _train_step_impl(self, state, noisy, clean, frame_nums):
+        feat, _ = mag_features(noisy, self.cfg)
+        label, _ = mag_features(clean, self.cfg)
+
+        def loss_of(params):
+            est, new_stats = self._apply(
+                {"params": params, "batch_stats": state["model"]["batch_stats"]},
+                feat, train=True,
+            )
+            return self.loss_fn(est, label, frame_nums), new_stats
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_of, has_aux=True)(
+            state["model"]["params"]
+        )
+        up, opt = self.tx.update(grads, state["opt"], state["model"]["params"])
+        params = optax.apply_updates(state["model"]["params"], up)
+        return (
+            {"model": {"params": params, "batch_stats": new_stats}, "opt": opt},
+            loss,
+        )
+
+    def _eval_step_impl(self, state, noisy, clean, frame_nums):
+        feat, noisy_phase = mag_features(noisy, self.cfg)
+        label, clean_phase = mag_features(clean, self.cfg)
+        est, _ = self._apply(state["model"], feat, train=False)
+        loss = self.loss_fn(est, label, frame_nums)
+        # noisy-phase complex reconstruction for metric scoring
+        est_c = from_mag_phase(est, noisy_phase)
+        label_c = from_mag_phase(label, clean_phase)
+        return est_c, label_c, loss
+
+    def evaluate(self) -> float:
+        losses, results = [], []
+        for batch in self.cv_loader:
+            noisy, clean, frames = self.put_batch(
+                batch.noisy, batch.clean, batch.frame_nums
+            )
+            est_c, label_c, loss = self._eval_step(self.state, noisy, clean, frames)
+            losses.append(float(loss))
+            results.append(
+                compare_complex(est_c, label_c, batch.frame_nums, self.cfg.feat_type)
+            )
+        cv_loss = float(np.mean(losses))
+        self.log_eval("test", cv_loss, np.mean(np.asarray(results), axis=0))
+        return cv_loss
+
+    def train(self, max_epochs: Optional[int] = None,
+              max_steps: Optional[int] = None):
+        n_epochs = max_epochs or self.cfg.n_epochs
+        while self.epoch < n_epochs:
+            logging.info("Epoch %d", self.epoch)
+            for batch in self.tr_loader:
+                if max_steps is not None and self.step >= max_steps:
+                    return
+                noisy, clean, frames = self.put_batch(
+                    batch.noisy, batch.clean, batch.frame_nums
+                )
+                self.state, loss = self._train_step(self.state, noisy, clean, frames)
+                loss = float(loss)
+                self.check_nan(loss)
+                self.metrics.log({"train_batch_loss": loss}, step=self.step)
+                self.step += 1
+            cv_loss = self.evaluate()
+            halve, stop, is_best = self.plateau.update(cv_loss)
+            if halve:
+                lr = get_lr(self.state["opt"]) / 2.0
+                self.state["opt"] = set_lr(self.state["opt"], lr)
+                logging.info("Learning rate adjusted to %f", lr)
+            host_state = jax.tree.map(np.asarray, self.state)
+            if is_best:
+                self.ckpt.save_best(host_state)
+            self.ckpt.save_epoch(self.epoch, host_state)
+            self.epoch += 1
+            if stop:
+                logging.info("No improvement and apply early stop")
+                break
+
+    train_ddpm = train
+
+    def load_best(self):
+        restored = self.ckpt.restore_best(jax.tree.map(np.asarray, self.state))
+        if restored is not None:
+            self.state = self.put_replicated(restored)
+        return restored is not None
+
+    def enhance_batch(self, noisy_padded, rng):
+        if not hasattr(self, "_enhance_jit"):
+            from prior_diffuse_tpu.signal.compress import decompress_spec
+            from prior_diffuse_tpu.signal.stft import istft
+
+            def impl(state, wav):
+                cfg = self.cfg
+                feat, phase = mag_features(wav, cfg)
+                est, _ = self._apply(state["model"], feat, train=False)
+                spec = decompress_spec(from_mag_phase(est, phase), cfg.feat_type)
+                return istft(spec, length=wav.shape[-1],
+                             fft_num=cfg.fft_num, win_size=cfg.win_size,
+                             win_shift=cfg.win_shift)
+
+            self._enhance_jit = jax.jit(impl)
+        wav = self.put_batch(noisy_padded)[0]
+        return self._enhance_jit(self.state, wav)
+
+    def generate_wav(self, load_pre_train: bool = True,
+                     data_path: Optional[str] = None,
+                     out_dir: Optional[str] = None):
+        from prior_diffuse_tpu.serving.enhance import enhance_directory
+
+        if load_pre_train:
+            self.load_best()
+        data_path = data_path or f"{self.run.data_root}/noisy_testset_wav"
+        out_dir = out_dir or self.run.generated_wav_dir
+        self.rng, rng = jax.random.split(self.rng)
+        return enhance_directory(self, data_path, out_dir, rng)
