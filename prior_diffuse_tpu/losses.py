@@ -88,3 +88,28 @@ def l1_loss(esti, label):
     """Plain mean absolute error (the reference's ``nn.L1Loss`` used as
     ``loss_fn_eva``, trainer/complex_ddpm_trainer.py:39)."""
     return jnp.mean(jnp.abs(esti - label))
+
+
+def pesq_loss(esti, label, frame_nums, feat_type: str = "sqrt") -> float:
+    """``4.5 - mean PESQ`` over the batch (utils/loss.py:74-113).
+
+    Host-side and non-differentiable, exactly like the reference (whose
+    version runs under ``no_grad``): de-compress, ISTFT, trim to
+    ``(frames-1)*hop``, score wideband PESQ per utterance.  Requires the
+    optional ``pesq`` binding; raises if unavailable.
+    """
+    import numpy as np
+
+    from prior_diffuse_tpu.metrics.compare import spec_batch_to_wavs
+    from prior_diffuse_tpu.metrics.pesq import HAVE_PESQ, pesq_score
+
+    if not HAVE_PESQ:
+        raise ImportError("pesq_loss requires the optional `pesq` package")
+    esti_wavs = spec_batch_to_wavs(esti, list(np.asarray(frame_nums)), feat_type)
+    label_wavs = spec_batch_to_wavs(label, list(np.asarray(frame_nums)), feat_type)
+    scores = []
+    for c, p in zip(label_wavs, esti_wavs):
+        s = pesq_score(c, p, 16000)
+        if s is not None:  # PESQ errors are swallowed per-utterance
+            scores.append(s)
+    return 4.5 - float(np.mean(scores))

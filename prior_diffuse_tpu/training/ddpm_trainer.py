@@ -281,6 +281,9 @@ class ComplexDDPMTrainer(TrainerBase):
     def train_ddpm(self, max_epochs: Optional[int] = None,
                    max_steps: Optional[int] = None):
         """The reference's main loop (train + per-epoch sampling eval)."""
+        if self.run.draw:  # draw-from-checkpoint mode (main loop skipped)
+            self.draw_audio()
+            return
         n_epochs = max_epochs or self.cfg.n_epochs
         while self.epoch < n_epochs:
             logging.info("Epoch %d", self.epoch)
@@ -321,6 +324,50 @@ class ComplexDDPMTrainer(TrainerBase):
 
     # parity alias: the reference dispatches train_ddpm from main
     train = train_ddpm
+
+    def draw_audio(self, out_dir: Optional[str] = None, max_batches: int = 1):
+        """Eval + plot path: runs reverse sampling on CV batches, writes
+        per-utterance noisy/clean/init/enhanced comparison figures and
+        logs the 6 metrics.
+
+        Working replacement for the reference ``draw_audio``
+        (trainer/complex_ddpm_trainer.py:158-368), which crashes on
+        undefined names once it reaches its output blocks (SURVEY 2.9).
+        """
+        import os
+
+        from prior_diffuse_tpu.metrics.compare import spec_batch_to_wavs
+        from prior_diffuse_tpu.viz import draw_comparison
+
+        out_dir = out_dir or os.path.join(self.run.generated_wav_dir, "draw")
+        os.makedirs(out_dir, exist_ok=True)
+        losses, results = [], []
+        for bi, batch in enumerate(self.cv_loader):
+            if bi >= max_batches:
+                break
+            self.rng, step_rng = jax.random.split(self.rng)
+            noisy, clean, frames = self.put_batch(
+                batch.noisy, batch.clean, batch.frame_nums
+            )
+            audio, label, loss = self._eval_step(
+                self.state, noisy, clean, frames, step_rng
+            )
+            losses.append(float(loss))
+            results.append(
+                compare_complex(audio, label, batch.frame_nums, self.cfg.feat_type)
+            )
+            esti_wavs = spec_batch_to_wavs(audio, batch.frame_nums, self.cfg.feat_type)
+            label_wavs = spec_batch_to_wavs(label, batch.frame_nums, self.cfg.feat_type)
+            for i, (e, l) in enumerate(zip(esti_wavs, label_wavs)):
+                n = batch.wav_lens[i]
+                draw_comparison(
+                    [batch.noisy[i, :n], l, e],
+                    ["noisy", "clean", "enhanced"],
+                    path=os.path.join(out_dir, f"draw_b{bi}_{i}.png"),
+                )
+        self.log_eval("draw", float(np.mean(losses)),
+                      np.mean(np.asarray(results), axis=0))
+        return out_dir
 
     def enhance_batch(self, noisy_padded, rng):
         """Full on-device enhance of an RMS-normalized padded batch
