@@ -141,7 +141,12 @@ class _Prefetcher:
 
 
 class TrainLoader:
-    """Shuffled fixed-chunk training batches (drop_last=True)."""
+    """Shuffled fixed-chunk training batches (drop_last=True).
+
+    Uses the native C++ runtime (decode+crop+normalize across a thread
+    pool, ``prior_diffuse_tpu.runtime``) when it can serve the corpus;
+    otherwise the pure-Python path.
+    """
 
     def __init__(
         self,
@@ -149,22 +154,48 @@ class TrainLoader:
         batch_size: int,
         seed: int = 1234,
         prefetch: int = 2,
+        native: bool = True,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
         self.prefetch = prefetch
+        self.native = native
 
     def __len__(self) -> int:
         return len(self.dataset) // self.batch_size
 
+    def _native_batch(self, idx) -> Optional[Batch]:
+        from prior_diffuse_tpu import runtime
+
+        ds = self.dataset
+        noisy_paths = [os.path.join(ds.noisy_root, ds.names[j]) for j in idx]
+        clean_paths = [os.path.join(ds.clean_root, ds.names[j]) for j in idx]
+        starts = self.rng.integers(0, 2**62, size=len(idx))
+        out = runtime.load_batch(
+            noisy_paths, clean_paths, ds.chunk_length, starts,
+            ds.win_size, ds.fft_num, ds.win_shift, ds.sample_rate,
+        )
+        if out is None:
+            return None
+        noisy, clean, frames, lens, scales = out
+        return Batch(noisy, clean, frames, lens, scales)
+
     def __iter__(self) -> Iterator[Batch]:
         order = self.rng.permutation(len(self.dataset))
         bs = self.batch_size
+        use_native = self.native
 
         def gen():
+            nonlocal use_native
             for i in range(len(self)):
                 idx = order[i * bs : (i + 1) * bs]
+                if use_native:
+                    batch = self._native_batch(idx)
+                    if batch is not None:
+                        yield batch
+                        continue
+                    use_native = False  # fall back for the whole epoch
                 items = [
                     self.dataset.load_pair(j, crop=True, rng=self.rng) for j in idx
                 ]
