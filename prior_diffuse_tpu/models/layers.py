@@ -129,6 +129,7 @@ class ConvTranspose2d(nn.Module):
             "kernel", nn.initializers.lecun_normal(), (kh, kw, in_ch, self.features)
         )
         b = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        x = x.astype(w.dtype)  # follow param dtype (bf16 inference casts)
         y = jax.lax.conv_general_dilated(
             x,
             w,
