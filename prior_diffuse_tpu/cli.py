@@ -41,6 +41,8 @@ def parse_args(argv=None) -> RunConfig:
     p.add_argument("--sigma", action="store_true", help="PriorGrad sigma conditioning")
     p.add_argument("--noisy", action="store_true")
     p.add_argument("--draw", action="store_true", help="Eval/plot from best checkpoint")
+    p.add_argument("--wandb", action="store_true",
+                   help="Mirror metrics to wandb (optional dependency)")
     a = p.parse_args(argv)
     run = RunConfig(
         seed=a.seed, trainer=a.trainer, config=a.config, doc=a.doc,
@@ -49,7 +51,7 @@ def parse_args(argv=None) -> RunConfig:
         draw=a.draw, data_root=a.data_root,
     )
     setup_logging(run.log_dir, a.verbose)
-    return run
+    return run, a.wandb
 
 
 def main(argv=None):
@@ -58,13 +60,16 @@ def main(argv=None):
     import prior_diffuse_tpu.training.ddpm_trainer  # noqa: F401
     import prior_diffuse_tpu.training.mag_trainer  # noqa: F401
 
-    run = parse_args(argv)
+    run, use_wandb = parse_args(argv)
     exp = load_experiment(run.config)
     logging.info("Run = %s", dataclasses.asdict(run))
     logging.info("Experiment = %s", dataclasses.asdict(exp))
     np.random.seed(run.seed)
 
-    trainer = TRAINERS.get(run.trainer)(run, exp)
+    from prior_diffuse_tpu.utils.logging import MetricsLogger
+
+    metrics = MetricsLogger(run.log_dir, use_wandb=use_wandb)
+    trainer = TRAINERS.get(run.trainer)(run, exp, metrics_logger=metrics)
     if run.generate:
         trainer.generate_wav(load_pre_train=True)
     else:

@@ -34,8 +34,22 @@ def pesq_score(
     clean: np.ndarray, processed: np.ndarray, fs: int
 ) -> Optional[float]:
     """Wideband PESQ MOS, or ``None`` when the binding is unavailable or
-    PESQ rejects the pair."""
+    PESQ rejects the pair.
+
+    Without the binding, setting ``PDT_APPROX_PESQ=1`` falls back to the
+    in-repo approximate P.862.2 implementation (``metrics.pesq_np``);
+    scores are then *approximate* and flagged as such in the docs.
+    """
     if not HAVE_PESQ:
+        import os
+
+        if os.environ.get("PDT_APPROX_PESQ") == "1":
+            from prior_diffuse_tpu.metrics.pesq_np import pesq_approx
+
+            try:
+                return pesq_approx(clean, processed, fs)
+            except Exception:
+                return None
         return None
     from scipy.signal import resample
 

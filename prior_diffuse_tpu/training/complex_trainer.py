@@ -172,7 +172,8 @@ class ComplexTrainer(TrainerBase):
 
     def generate_wav(self, load_pre_train: bool = True,
                      data_path: Optional[str] = None,
-                     out_dir: Optional[str] = None):
+                     out_dir: Optional[str] = None,
+                     compare_after: bool = False):
         from prior_diffuse_tpu.serving.enhance import enhance_directory
 
         if load_pre_train:
@@ -180,4 +181,20 @@ class ComplexTrainer(TrainerBase):
         data_path = data_path or f"{self.run.data_root}/noisy_testset_wav"
         out_dir = out_dir or self.run.generated_wav_dir
         self.rng, rng = jax.random.split(self.rng)
-        return enhance_directory(self, data_path, out_dir, rng)
+        rtf = enhance_directory(self, data_path, out_dir, rng)
+        if compare_after:
+            # the reference's dis-only generate_wav ends with a live
+            # directory comparison (trainer/complex_trainer.py:239-246)
+            import numpy as np
+
+            from prior_diffuse_tpu.metrics.compare import compare
+
+            clean_dir = f"{self.run.data_root}/clean_testset_wav"
+            res = np.mean(np.asarray(compare(clean_dir, out_dir)), axis=0)
+            logging.info("ref=%s", clean_dir)
+            logging.info("deg=%s", out_dir)
+            logging.info(
+                "csig:%6.4f cbak:%6.4f covl:%6.4f pesq:%6.4f ssnr:%6.4f stoi:%6.4f",
+                *res,
+            )
+        return rtf
