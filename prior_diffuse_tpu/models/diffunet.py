@@ -37,8 +37,13 @@ class BiConvGLU(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = tl.conv2d(32, (1, 1), name="conv1")(x)
-        left = tl.conv2d(32, self.kernel, self.strides, name="l")(x)
-        right = tl.conv2d(32, self.kernel, self.strides, name="r")(x)
+        # l and r read the same input: fuse into one MXU conv
+        left, right = tl.conv_pair_fused(
+            x,
+            tl.ConvParams(32, self.kernel, 32, name="l")(),
+            tl.ConvParams(32, self.kernel, 32, name="r")(),
+            strides=self.strides,
+        )
         lmask = jax.nn.sigmoid(tl.conv2d(32, (1, 1), name="l_conv")(left))
         rmask = jax.nn.sigmoid(tl.conv2d(32, (1, 1), name="r_conv")(right))
         return tl.conv2d(self.features, (1, 1), name="conv2")(
@@ -61,8 +66,13 @@ class BiConvTransGLU(nn.Module):
             tp = nn.Dense(x.shape[-1], name="tp")(t)
             x = x + tp[:, None, None, :]
         x = tl.ConvTranspose2d(32, (1, 1), name="conv1")(x)
-        left = tl.ConvTranspose2d(32, self.kernel, self.strides, name="l")(x)
-        right = tl.ConvTranspose2d(32, self.kernel, self.strides, name="r")(x)
+        left, right = tl.conv_pair_fused(
+            x,
+            tl.ConvParams(32, self.kernel, 32, name="l")(),
+            tl.ConvParams(32, self.kernel, 32, name="r")(),
+            strides=self.strides,
+            transpose=True,
+        )
         lmask = jax.nn.sigmoid(tl.ConvTranspose2d(32, (1, 1), name="l_conv")(left))
         rmask = jax.nn.sigmoid(tl.ConvTranspose2d(32, (1, 1), name="r_conv")(right))
         return tl.ConvTranspose2d(self.features, (1, 1), name="conv2")(

@@ -32,8 +32,12 @@ class GluConv2d(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        a = tl.conv2d(self.features, self.kernel, self.strides, name="conv1")(x)
-        g = tl.conv2d(self.features, self.kernel, self.strides, name="conv2")(x)
+        a, g = tl.conv_pair_fused(
+            x,
+            tl.ConvParams(self.features, self.kernel, x.shape[-1], name="conv1")(),
+            tl.ConvParams(self.features, self.kernel, x.shape[-1], name="conv2")(),
+            strides=self.strides,
+        )
         return a * jax.nn.sigmoid(g)
 
 
@@ -47,14 +51,14 @@ class GluConvTranspose2d(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        a = tl.ConvTranspose2d(
-            self.features, self.kernel, self.strides, self.output_padding,
-            name="conv1",
-        )(x)
-        g = tl.ConvTranspose2d(
-            self.features, self.kernel, self.strides, self.output_padding,
-            name="conv2",
-        )(x)
+        a, g = tl.conv_pair_fused(
+            x,
+            tl.ConvParams(self.features, self.kernel, x.shape[-1], name="conv1")(),
+            tl.ConvParams(self.features, self.kernel, x.shape[-1], name="conv2")(),
+            strides=self.strides,
+            transpose=True,
+            output_padding=self.output_padding,
+        )
         return a * jax.nn.sigmoid(g)
 
 

@@ -42,11 +42,17 @@ class GLU(nn.Module):
             if self.causal
             else ((3 * self.dilation, 3 * self.dilation),)
         )
-        left = ELU(x)
-        left = tl.conv1d(64, 7, dilation=self.dilation, padding=pad, name="left_conv")(left)
+        a = ELU(x)
+        # left/right convs share the activated input: one fused MXU pass
+        left, right = tl.conv_pair_fused(
+            a,
+            tl.ConvParams(64, (7,), 64, name="left_conv")(),
+            tl.ConvParams(64, (7,), 64, name="right_conv")(),
+            strides=(1,),
+            dilation=(self.dilation,),
+            padding=pad,
+        )
         left = bn("left_bn")(left)
-        right = ELU(x)
-        right = tl.conv1d(64, 7, dilation=self.dilation, padding=pad, name="right_conv")(right)
         right = jax.nn.sigmoid(bn("right_bn")(right))
         x = left * right
         x = tl.conv1d(256, 1, name="out_conv")(x)

@@ -109,6 +109,62 @@ def conv1d(
     )
 
 
+class ConvParams(nn.Module):
+    """Bare conv parameter holder (same param names/shapes as nn.Conv:
+    ``kernel [kh, kw, in, out]`` + ``bias``), used where sibling convs
+    that share an input are fused into one MXU pass with concatenated
+    weights — identical math, half the input reads."""
+
+    features: int
+    kernel: Tuple[int, int]
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (*self.kernel, self.in_features, self.features),
+        )
+        b = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return k, b
+
+
+def conv_pair_fused(x, kb1, kb2, strides=(1, 1), transpose=False,
+                    output_padding=(0, 0), dilation=None, padding="VALID"):
+    """Run two same-input convs as one (weights concatenated on the
+    output-channel axis) and split the result.  Handles 1-D (``[B, T,
+    C]`` with kernel ``[k, in, out]``) and 2-D NHWC."""
+    (k1, b1), (k2, b2) = kb1, kb2
+    k = jnp.concatenate([k1, k2], axis=-1)
+    b = jnp.concatenate([b1, b2], axis=-1)
+    n1 = k1.shape[-1]
+    x = x.astype(k.dtype)
+    if k.ndim == 3:  # 1-D conv
+        y = jax.lax.conv_general_dilated(
+            x, k, window_strides=strides if len(strides) == 1 else (1,),
+            padding=padding,
+            rhs_dilation=dilation,
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        ) + b
+        return y[..., :n1], y[..., n1:]
+    if transpose:
+        kh, kw = k.shape[0], k.shape[1]
+        y = jax.lax.conv_general_dilated(
+            x, k, window_strides=(1, 1),
+            padding=((kh - 1, kh - 1 + output_padding[0]),
+                     (kw - 1, kw - 1 + output_padding[1])),
+            lhs_dilation=strides,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b
+    else:
+        y = jax.lax.conv_general_dilated(
+            x, k, window_strides=strides, padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b
+    return y[..., :n1], y[..., n1:]
+
+
 class ConvTranspose2d(nn.Module):
     """Fractionally-strided conv with torch ConvTranspose2d shape
     semantics: ``out = (in - 1)*stride + kernel + output_padding``
