@@ -56,7 +56,10 @@ class PairedWavDataset:
         fft_num: int = 320,
         win_shift: int = 160,
         sample_rate: int = 16000,
+        shard: Optional[Tuple[int, int]] = None,
     ):
+        """``shard=(process_index, process_count)`` keeps every host on a
+        disjoint slice of the corpus (multi-host data parallelism)."""
         self.noisy_root = noisy_root
         self.clean_root = clean_root
         self.chunk_length = chunk_length
@@ -67,6 +70,9 @@ class PairedWavDataset:
         self.names = sorted(
             os.path.basename(p) for p in glob.glob(os.path.join(noisy_root, "*.wav"))
         )
+        if shard is not None and shard[1] > 1:
+            index, count = shard
+            self.names = self.names[index::count]
         if not self.names:
             raise FileNotFoundError(f"no wavs under {noisy_root}")
 

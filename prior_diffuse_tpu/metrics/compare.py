@@ -65,6 +65,26 @@ def compare(refdir: str, degdir: str, use_tqdm: bool = True):
     assert len(reffiles) == len(degfiles), "directory sizes differ"
 
     pairs = list(zip(reffiles, degfiles))
+    # process pool sized like the reference's (min(max(cpu-2,1),20),
+    # utils/metrics.py:589); sequential when only one core is useful
+    workers = int(os.environ.get(
+        "PDT_METRIC_WORKERS",
+        min(max((os.cpu_count() or 1) - 2, 1), 20),
+    ))
+    if workers > 1:
+        from multiprocessing import Pool
+
+        with Pool(processes=workers) as pool:
+            it = pool.imap(_compare_pair, pairs)
+            if use_tqdm:
+                try:
+                    from tqdm import tqdm
+
+                    it = tqdm(it, total=len(pairs), desc="Calculating", ncols=60)
+                except ImportError:
+                    pass
+            return list(it)
+
     if use_tqdm:
         try:
             from tqdm import tqdm
@@ -72,13 +92,15 @@ def compare(refdir: str, degdir: str, use_tqdm: bool = True):
             pairs = tqdm(pairs, desc="Calculating", ncols=60)
         except ImportError:
             pass
-    results = []
-    for rf, df in pairs:
-        c, _ = read_wav(rf, 16000)
-        p, _ = read_wav(df, 16000)
-        n = min(len(c), len(p))
-        results.append(compare_one(c[:n], p[:n], 16000))
-    return results
+    return [_compare_pair(pair) for pair in pairs]
+
+
+def _compare_pair(pair):
+    rf, df = pair
+    c, _ = read_wav(rf, 16000)
+    p, _ = read_wav(df, 16000)
+    n = min(len(c), len(p))
+    return compare_one(c[:n], p[:n], 16000)
 
 
 def main():  # CLI: python -m prior_diffuse_tpu.metrics.compare ref deg

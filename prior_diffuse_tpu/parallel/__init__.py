@@ -1,3 +1,4 @@
+from prior_diffuse_tpu.parallel import distributed
 from prior_diffuse_tpu.parallel.mesh import (
     make_mesh,
     batch_sharding,
