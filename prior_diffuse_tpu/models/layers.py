@@ -3,8 +3,10 @@
 Everything is flax.linen, channels-last (NHWC: ``[B, T, F, C]`` for 2-D
 convs, ``[B, T, C]`` for 1-D).  Parameter *shapes* match the reference's
 torch modules one-to-one (including torch's separate ``b_ih``/``b_hh``
-recurrent biases) so parameter counts are comparable layer by layer;
-initializers are JAX-idiomatic (lecun-normal / zeros).
+recurrent biases) so parameter counts are comparable layer by layer,
+and initializer *distributions* follow torch's defaults (kaiming-uniform
+kernels, uniform fan-in biases, xavier MHA in-proj) so training dynamics
+are comparable too.
 
 TPU notes:
 * recurrent cells precompute the input projection for the whole
@@ -21,12 +23,35 @@ from typing import Any, Callable, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Dtype = Any
 
 
 def silu(x):
     return x * jax.nn.sigmoid(x)
+
+
+# ---------------------------------------------------------------------------
+# torch-matching initializers: conv/linear kernels ~ kaiming_uniform(a=sqrt(5))
+# == U(-1/sqrt(fan_in), 1/sqrt(fan_in)); biases the same bound.  Matching the
+# reference's init distributions keeps training dynamics comparable.
+# ---------------------------------------------------------------------------
+
+def torch_kernel_init(key, shape, dtype=jnp.float32):
+    """Kernel shapes [*window, in, out] or [in, out]: fan_in = prod(:-1)."""
+    fan_in = int(np.prod(shape[:-1]))
+    bound = 1.0 / np.sqrt(fan_in) if fan_in > 0 else 0.0
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_bias_init(fan_in: int):
+    bound = 1.0 / np.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
 
 
 class PReLU(nn.Module):
@@ -87,6 +112,7 @@ def conv2d(
         strides=strides,
         kernel_dilation=dilation,
         padding=padding,
+        kernel_init=torch_kernel_init,
         name=name,
     )
 
@@ -105,6 +131,7 @@ def conv1d(
         strides=(strides,),
         kernel_dilation=(dilation,),
         padding=padding,
+        kernel_init=torch_kernel_init,
         name=name,
     )
 
@@ -121,12 +148,10 @@ class ConvParams(nn.Module):
 
     @nn.compact
     def __call__(self):
-        k = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (*self.kernel, self.in_features, self.features),
-        )
-        b = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        shape = (*self.kernel, self.in_features, self.features)
+        k = self.param("kernel", torch_kernel_init, shape)
+        fan_in = int(np.prod(shape[:-1]))
+        b = self.param("bias", torch_bias_init(fan_in), (self.features,))
         return k, b
 
 
@@ -182,9 +207,11 @@ class ConvTranspose2d(nn.Module):
         oph, opw = self.output_padding
         in_ch = x.shape[-1]
         w = self.param(
-            "kernel", nn.initializers.lecun_normal(), (kh, kw, in_ch, self.features)
+            "kernel", torch_kernel_init, (kh, kw, in_ch, self.features)
         )
-        b = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        b = self.param(
+            "bias", torch_bias_init(kh * kw * in_ch), (self.features,)
+        )
         x = x.astype(w.dtype)  # follow param dtype (bf16 inference casts)
         y = jax.lax.conv_general_dilated(
             x,
@@ -202,7 +229,7 @@ class Dense(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.Dense(self.features)(x)
+        return nn.Dense(self.features, kernel_init=torch_kernel_init)(x)
 
 
 class LSTM(nn.Module):
@@ -220,10 +247,11 @@ class LSTM(nn.Module):
     def __call__(self, x):
         h = self.hidden
         in_dim = x.shape[-1]
-        w_ih = self.param("w_ih", nn.initializers.lecun_normal(), (in_dim, 4 * h))
-        w_hh = self.param("w_hh", nn.initializers.orthogonal(), (h, 4 * h))
-        b_ih = self.param("b_ih", nn.initializers.zeros_init(), (4 * h,))
-        b_hh = self.param("b_hh", nn.initializers.zeros_init(), (4 * h,))
+        rnn_init = torch_bias_init(h)  # torch RNN init: U(+-1/sqrt(h)) for all
+        w_ih = self.param("w_ih", rnn_init, (in_dim, 4 * h))
+        w_hh = self.param("w_hh", rnn_init, (h, 4 * h))
+        b_ih = self.param("b_ih", rnn_init, (4 * h,))
+        b_hh = self.param("b_hh", rnn_init, (4 * h,))
 
         xw = jnp.einsum("bti,ij->btj", x, w_ih) + b_ih + b_hh  # [B, T, 4h]
 
@@ -259,14 +287,11 @@ class GRU(nn.Module):
         in_dim = x.shape[-1]
 
         def direction(name, xs):
-            w_ih = self.param(
-                f"w_ih_{name}", nn.initializers.lecun_normal(), (in_dim, 3 * h)
-            )
-            w_hh = self.param(
-                f"w_hh_{name}", nn.initializers.orthogonal(), (h, 3 * h)
-            )
-            b_ih = self.param(f"b_ih_{name}", nn.initializers.zeros_init(), (3 * h,))
-            b_hh = self.param(f"b_hh_{name}", nn.initializers.zeros_init(), (3 * h,))
+            rnn_init = torch_bias_init(h)
+            w_ih = self.param(f"w_ih_{name}", rnn_init, (in_dim, 3 * h))
+            w_hh = self.param(f"w_hh_{name}", rnn_init, (h, 3 * h))
+            b_ih = self.param(f"b_ih_{name}", rnn_init, (3 * h,))
+            b_hh = self.param(f"b_hh_{name}", rnn_init, (3 * h,))
 
             xw = jnp.einsum("bti,ij->btj", xs, w_ih) + b_ih  # [B, T, 3h]
 
@@ -304,9 +329,10 @@ class MultiHeadAttention(nn.Module):
         d = self.d_model
         nh = self.num_heads
         hd = d // nh
-        w_in = self.param("w_in", nn.initializers.lecun_normal(), (d, 3 * d))
+        # torch MultiheadAttention: xavier_uniform in-proj, zero biases
+        w_in = self.param("w_in", nn.initializers.xavier_uniform(), (d, 3 * d))
         b_in = self.param("b_in", nn.initializers.zeros_init(), (3 * d,))
-        w_out = self.param("w_out", nn.initializers.lecun_normal(), (d, d))
+        w_out = self.param("w_out", torch_kernel_init, (d, d))
         b_out = self.param("b_out", nn.initializers.zeros_init(), (d,))
 
         qkv = x @ w_in + b_in
