@@ -18,8 +18,6 @@ Matches the reference exactly:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Sequence, Tuple
-
 import numpy as np
 
 from prior_diffuse_tpu.config import DiffusionConfig

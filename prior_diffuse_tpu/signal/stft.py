@@ -20,7 +20,7 @@ Design notes (TPU-first):
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -18,8 +18,7 @@ host-side once per step on the already-fetched scalar.
 from __future__ import annotations
 
 import logging
-import time
-from typing import Any, Callable, Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ LR(s); at ``early_stop`` bad epochs stop.  Comparison is against the
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass
