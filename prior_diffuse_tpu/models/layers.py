@@ -155,6 +155,60 @@ class ConvParams(nn.Module):
         return k, b
 
 
+def _conv_transpose_f2(x, w, b, op_f: int):
+    """Transposed conv, stride (1, 2), odd frequency kernel, via phase
+    decomposition: two ordinary VALID convs (even/odd output columns)
+    interleaved.  Numerically identical to the lhs-dilated formulation
+    but with standard (fast) convolution gradients — the lhs-dilated
+    weight-grad path dominated the train-step profile (~45 of 70 ms per
+    model backward).
+
+    ``x [B, T, F, Cin]``, ``w [kh, kw, Cin, Cout]`` (kw odd),
+    output ``[B, T + kh - 1, 2F + kw - 2 + op_f, Cout]``.
+    """
+    kh, kw = w.shape[:2]
+    assert kw % 2 == 1
+    he = (kw - 1) // 2  # even-phase taps - 1 == F pad
+    ho = (kw - 3) // 2  # odd-phase pad
+
+    def phase(offset, pad_f):
+        kern = w[:, offset::2]  # [kh, taps, Cin, Cout]
+        xp = jnp.pad(x, ((0, 0), (kh - 1, kh - 1), (pad_f, pad_f), (0, 0)))
+        return jax.lax.conv_general_dilated(
+            xp.astype(w.dtype), kern, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    even = phase(0, he)  # [B, T', F + he, Cout]
+    odd = phase(1, ho)  # [B, T', F + ho, Cout]  (one column fewer)
+    odd = jnp.pad(odd, ((0, 0), (0, 0), (0, 1), (0, 0)))
+    inter = jnp.stack([even, odd], axis=-2)  # [B, T', F+he, 2, Cout]
+    bsz, tp, fe, _, c = inter.shape
+    out = inter.reshape(bsz, tp, fe * 2, c)[:, :, : 2 * x.shape[2] + kw - 2]
+    if op_f:
+        # output-padding columns receive no kernel contributions (the
+        # needed input index is out of range) — bias-only, added below
+        out = jnp.pad(out, ((0, 0), (0, 0), (0, op_f), (0, 0)))
+    return out + b
+
+
+def conv_transpose(x, w, b, strides=(1, 1), output_padding=(0, 0)):
+    """torch-semantics transposed conv; picks the phase-decomposed fast
+    path for the models' stride-(1,2) odd-kernel case, else the general
+    lhs-dilated formulation."""
+    kh, kw = w.shape[:2]
+    if strides == (1, 2) and kw % 2 == 1 and output_padding[0] == 0:
+        return _conv_transpose_f2(x, w, b, output_padding[1])
+    y = jax.lax.conv_general_dilated(
+        x.astype(w.dtype), w, window_strides=(1, 1),
+        padding=((kh - 1, kh - 1 + output_padding[0]),
+                 (kw - 1, kw - 1 + output_padding[1])),
+        lhs_dilation=strides,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + b
+
+
 def conv_pair_fused(x, kb1, kb2, strides=(1, 1), transpose=False,
                     output_padding=(0, 0), dilation=None, padding="VALID"):
     """Run two same-input convs as one (weights concatenated on the
@@ -174,14 +228,7 @@ def conv_pair_fused(x, kb1, kb2, strides=(1, 1), transpose=False,
         ) + b
         return y[..., :n1], y[..., n1:]
     if transpose:
-        kh, kw = k.shape[0], k.shape[1]
-        y = jax.lax.conv_general_dilated(
-            x, k, window_strides=(1, 1),
-            padding=((kh - 1, kh - 1 + output_padding[0]),
-                     (kw - 1, kw - 1 + output_padding[1])),
-            lhs_dilation=strides,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ) + b
+        y = conv_transpose(x, k, b, strides, output_padding)
     else:
         y = jax.lax.conv_general_dilated(
             x, k, window_strides=strides, padding="VALID",
@@ -212,16 +259,7 @@ class ConvTranspose2d(nn.Module):
         b = self.param(
             "bias", torch_bias_init(kh * kw * in_ch), (self.features,)
         )
-        x = x.astype(w.dtype)  # follow param dtype (bf16 inference casts)
-        y = jax.lax.conv_general_dilated(
-            x,
-            w,
-            window_strides=(1, 1),
-            padding=((kh - 1, kh - 1 + oph), (kw - 1, kw - 1 + opw)),
-            lhs_dilation=(sh, sw),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
-        return y + b
+        return conv_transpose(x, w, b, (sh, sw), (oph, opw))
 
 
 class Dense(nn.Module):
