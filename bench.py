@@ -4,11 +4,19 @@ Measures the flagship pipeline — waveform -> STFT -> DiffUNet prior ->
 6-step DiffUNet1 reverse scan -> ISTFT -> waveform — as one jit on a
 batch of 3-second utterances, and prints ONE JSON line.
 
+Measurement methodology (important on this environment): the axon PJRT
+``block_until_ready`` returns before execution completes, so naive
+block-based loops time only dispatch.  We therefore time two chained
+runs of different lengths ending in a *scalar readback* (which provably
+forces completion) and take the slope:
+
+    step_time = (t(N2) - t(N1)) / (N2 - N1)
+
 Baseline: the PyTorch reference's equivalent inference loop (DiffUNet +
 6x DiffUNet1, batch 1, fast schedule, trainer/complex_ddpm_trainer.py:
 903-1018) measured on this host's CPU (single core, torch 2.13):
 2.885 s per 3 s utterance => RTF 1.04.  The reference publishes no
-hardware throughput numbers (BASELINE.md), so this measured value is
+hardware throughput numbers (BASELINE.md), so that measured value is
 the recorded comparison point.
 """
 
@@ -20,13 +28,12 @@ REFERENCE_RTF = 1.04  # torch CPU measurement, see module docstring
 BATCH = 8
 SECONDS = 3.0
 CHUNK = 48000
-ITERS = 5
+N1, N2 = 1, 6
 
 
 def main():
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from prior_diffuse_tpu.config import DiffusionConfig, TrainConfig
     from prior_diffuse_tpu.diffusion import inference_schedule, reverse_sample
@@ -62,20 +69,24 @@ def main():
         return istft(spec, length=wav.shape[-1])
 
     wav = jax.random.normal(k3, (BATCH, CHUNK)) * 0.1
-    out = enhance(dis_vars, ddpm_vars, wav, k4)  # compile + warmup
-    out.block_until_ready()
+    float(jnp.sum(enhance(dis_vars, ddpm_vars, wav, k4)))  # compile + warmup
 
-    # median of 3 trials (the tunneled runtime adds occasional jitter)
-    trials = []
-    for t in range(3):
+    def chained(n):
         t0 = time.time()
-        for i in range(ITERS):
-            out = enhance(dis_vars, ddpm_vars, wav, jax.random.fold_in(k4, i))
-        out.block_until_ready()
-        trials.append((time.time() - t0) / ITERS)
+        w = wav
+        for i in range(n):
+            w = enhance(dis_vars, ddpm_vars, w, jax.random.fold_in(k4, i))
+        float(jnp.sum(w))  # scalar readback forces true completion
+        return time.time() - t0
+
     import statistics
 
-    wall = statistics.median(trials)
+    steps = []
+    for _ in range(3):
+        t1 = chained(N1)
+        t2 = chained(N2)
+        steps.append((t2 - t1) / (N2 - N1))
+    wall = statistics.median(steps)
 
     audio_seconds = BATCH * SECONDS
     rtf = audio_seconds / wall
