@@ -44,6 +44,9 @@ class TrainConfig:
     pesq_loss: bool = False
     lam: float = 1.0  # joint loss weight: lam * L_ddpm + L_dis
     sample_rate: int = 16000
+    # "bfloat16" enables mixed-precision model compute (params stay
+    # f32, losses/optimizer in f32); "float32" = reference numerics
+    compute_dtype: str = "float32"
 
     @property
     def stft(self) -> StftConfig:

@@ -33,20 +33,23 @@ class BiConvGLU(nn.Module):
     features: int
     kernel: Tuple[int, int]
     strides: Tuple[int, int]
+    dtype: tl.Dtype = None
 
     @nn.compact
     def __call__(self, x):
-        x = tl.conv2d(32, (1, 1), name="conv1")(x)
+        dt = self.dtype
+        x = tl.conv2d(32, (1, 1), name="conv1", dtype=dt)(x)
         # l and r read the same input: fuse into one MXU conv
         left, right = tl.conv_pair_fused(
             x,
             tl.ConvParams(32, self.kernel, 32, name="l")(),
             tl.ConvParams(32, self.kernel, 32, name="r")(),
             strides=self.strides,
+            dtype=dt,
         )
-        lmask = jax.nn.sigmoid(tl.conv2d(32, (1, 1), name="l_conv")(left))
-        rmask = jax.nn.sigmoid(tl.conv2d(32, (1, 1), name="r_conv")(right))
-        return tl.conv2d(self.features, (1, 1), name="conv2")(
+        lmask = jax.nn.sigmoid(tl.conv2d(32, (1, 1), name="l_conv", dtype=dt)(left))
+        rmask = jax.nn.sigmoid(tl.conv2d(32, (1, 1), name="r_conv", dtype=dt)(right))
+        return tl.conv2d(self.features, (1, 1), name="conv2", dtype=dt)(
             left * rmask + right * lmask
         )
 
@@ -59,23 +62,27 @@ class BiConvTransGLU(nn.Module):
     kernel: Tuple[int, int]
     strides: Tuple[int, int]
     time_cond: bool = False
+    dtype: tl.Dtype = None
 
     @nn.compact
     def __call__(self, x, t: Optional[jnp.ndarray] = None):
+        dt = self.dtype
         if self.time_cond:
-            tp = nn.Dense(x.shape[-1], name="tp")(t)
-            x = x + tp[:, None, None, :]
-        x = tl.ConvTranspose2d(32, (1, 1), name="conv1")(x)
+            tp = nn.Dense(x.shape[-1], name="tp", dtype=dt,
+                          kernel_init=tl.torch_kernel_init)(t)
+            x = x + tp[:, None, None, :].astype(x.dtype)
+        x = tl.ConvTranspose2d(32, (1, 1), name="conv1", dtype=dt)(x)
         left, right = tl.conv_pair_fused(
             x,
             tl.ConvParams(32, self.kernel, 32, name="l")(),
             tl.ConvParams(32, self.kernel, 32, name="r")(),
             strides=self.strides,
             transpose=True,
+            dtype=dt,
         )
-        lmask = jax.nn.sigmoid(tl.ConvTranspose2d(32, (1, 1), name="l_conv")(left))
-        rmask = jax.nn.sigmoid(tl.ConvTranspose2d(32, (1, 1), name="r_conv")(right))
-        return tl.ConvTranspose2d(self.features, (1, 1), name="conv2")(
+        lmask = jax.nn.sigmoid(tl.ConvTranspose2d(32, (1, 1), name="l_conv", dtype=dt)(left))
+        rmask = jax.nn.sigmoid(tl.ConvTranspose2d(32, (1, 1), name="r_conv", dtype=dt)(right))
+        return tl.ConvTranspose2d(self.features, (1, 1), name="conv2", dtype=dt)(
             left * rmask + right * lmask
         )
 
@@ -85,40 +92,46 @@ class Residual(nn.Module):
     Input ``[B, T, 256]``."""
 
     dilation: int
+    dtype: tl.Dtype = None
 
     @nn.compact
     def __call__(self, x, train: bool):
-        bn = lambda name: tl.BatchNorm(use_running_average=not train, name=name)
+        dt = self.dtype
+        bn = lambda name: tl.BatchNorm(use_running_average=not train,
+                                       name=name, dtype=dt)
         skip = x
-        x = tl.conv1d(64, 1, name="conv1")(x)
+        x = tl.conv1d(64, 1, name="conv1", dtype=dt)(x)
         pad = 2 * self.dilation
         main = tl.PReLU(name="main_prelu")(x)
         main = bn("main_bn")(main)
         main = tl.conv1d(
-            64, 5, dilation=self.dilation, padding=((pad, pad),), name="main_conv"
+            64, 5, dilation=self.dilation, padding=((pad, pad),),
+            name="main_conv", dtype=dt,
         )(main)
         mask = tl.PReLU(name="mask_prelu")(x)
         mask = bn("mask_bn")(mask)
         mask = jax.nn.sigmoid(
             tl.conv1d(
                 64, 5, dilation=self.dilation, padding=((pad, pad),),
-                name="mask_conv",
+                name="mask_conv", dtype=dt,
             )(mask)
         )
         x = main * mask
         x = tl.PReLU(name="out_prelu")(x)
         x = bn("out_bn")(x)
-        x = tl.conv1d(256, 1, name="out_conv")(x)
+        x = tl.conv1d(256, 1, name="out_conv", dtype=dt)(x)
         return x + skip
 
 
 class TCM(nn.Module):
     """Six dilated residual blocks, dilations 1..32 (model/diff.py:184-201)."""
 
+    dtype: tl.Dtype = None
+
     @nn.compact
     def __call__(self, x, train: bool):
         for i, d in enumerate([1, 2, 4, 8, 16, 32]):
-            x = Residual(d, name=f"residual{i + 1}")(x, train)
+            x = Residual(d, name=f"residual{i + 1}", dtype=self.dtype)(x, train)
         return x
 
 
@@ -142,17 +155,21 @@ class Encoder(nn.Module):
     """
 
     time_cond: bool = False
+    dtype: tl.Dtype = None
 
     @nn.compact
     def __call__(self, x, t, train: bool):
+        dt = self.dtype
         skips = []
         for i, (feat, kernel) in enumerate(_ENC_SPECS):
             x = tl.pad_time_causal(x, 1)
             if self.time_cond:
-                tp = nn.Dense(x.shape[-1], name=f"tp{i + 1}")(t)
-                x = x + tp[:, None, None, :]
-            x = BiConvGLU(feat, kernel, (1, 2), name=f"conv{i + 1}")(x)
-            x = tl.BatchNorm(use_running_average=not train, name=f"bn{i + 1}")(x)
+                tp = nn.Dense(x.shape[-1], name=f"tp{i + 1}", dtype=dt,
+                              kernel_init=tl.torch_kernel_init)(t)
+                x = x + tp[:, None, None, :].astype(x.dtype)
+            x = BiConvGLU(feat, kernel, (1, 2), name=f"conv{i + 1}", dtype=dt)(x)
+            x = tl.BatchNorm(use_running_average=not train, name=f"bn{i + 1}",
+                             dtype=dt)(x)
             x = tl.PReLU(name=f"prelu{i + 1}")(x)
             skips.append(x)
         return x, skips
@@ -163,22 +180,25 @@ class Decoder(nn.Module):
     (model/diff.py:93-136, time-conditioned variant diff3.py:169-212)."""
 
     time_cond: bool = False
+    dtype: tl.Dtype = None
 
     @nn.compact
     def __call__(self, x, skips, t, train: bool):
         for i, skip in enumerate(reversed(skips)):
             last = i == len(skips) - 1
-            x = jnp.concatenate([x, skip], axis=-1)
+            x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
             x = BiConvTransGLU(
                 1 if last else 64,
                 (2, 5) if last else (2, 3),
                 (1, 2),
                 time_cond=self.time_cond,
                 name=f"de{len(skips) - i}",
+                dtype=self.dtype,
             )(x, t)
             x = tl.chomp_time_end(x, 1)
             if not last:
-                x = tl.BatchNorm(use_running_average=not train, name=f"bn{len(skips) - i}")(x)
+                x = tl.BatchNorm(use_running_average=not train,
+                                 name=f"bn{len(skips) - i}", dtype=self.dtype)(x)
                 x = tl.PReLU(name=f"prelu{len(skips) - i}")(x)
         return x
 
@@ -187,28 +207,35 @@ class _UNetCore(nn.Module):
     """Shared encoder/TCM/decoder spine."""
 
     time_cond: bool = False
+    dtype: tl.Dtype = None
 
     @nn.compact
     def __call__(self, x, t, train: bool):
-        x, skips = Encoder(self.time_cond, name="en")(x, t, train)
+        x, skips = Encoder(self.time_cond, name="en", dtype=self.dtype)(x, t, train)
         b, tt, f, c = x.shape  # f=4, c=64
         # reference flatten order is c-major: [B, C, T, F] -> [B, C*F, T]
         flat = x.transpose(0, 1, 3, 2).reshape(b, tt, c * f)
         for i in range(3):
-            flat = TCM(name=f"tcm{i + 1}")(flat, train)
+            flat = TCM(name=f"tcm{i + 1}", dtype=self.dtype)(flat, train)
         x = flat.reshape(b, tt, c, f).transpose(0, 1, 3, 2)
-        real = Decoder(self.time_cond, name="de_real")(x, skips, t, train)
-        imag = Decoder(self.time_cond, name="de_imag")(x, skips, t, train)
+        real = Decoder(self.time_cond, name="de_real", dtype=self.dtype)(x, skips, t, train)
+        imag = Decoder(self.time_cond, name="de_imag", dtype=self.dtype)(x, skips, t, train)
         return jnp.concatenate([real, imag], axis=-1)  # [B, T, 161, 2]
 
 
 @MODELS.register("DiffUNet")
 class DiffUNet(nn.Module):
-    """Discriminative prior; ``[B, T, 161, 2] -> [B, T, 161, 2]``."""
+    """Discriminative prior; ``[B, T, 161, 2] -> [B, T, 161, 2]``.
+
+    ``dtype``: compute dtype (params stay f32) — pass ``jnp.bfloat16``
+    for mixed-precision training/serving."""
+
+    dtype: tl.Dtype = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        return _UNetCore(time_cond=False, name="core")(x, None, train)
+        return _UNetCore(time_cond=False, name="core", dtype=self.dtype)(
+            x, None, train)
 
 
 @MODELS.register("DiffUNet1")
@@ -220,14 +247,18 @@ class DiffUNet1(nn.Module):
     """
 
     num_steps: int = 50
+    dtype: tl.Dtype = None
 
     @nn.compact
     def __call__(self, x, x_init, t, train: bool = False):
-        x = tl.conv2d(2, (1, 1), name="preprocess")(
-            jnp.concatenate([x, x_init], axis=-1)
+        x = tl.conv2d(2, (1, 1), name="preprocess", dtype=self.dtype)(
+            jnp.concatenate([x, x_init.astype(x.dtype)], axis=-1)
         )
         temb = tl.TimeEmbedding(self.num_steps, name="time_embedding")(t)
-        return _UNetCore(time_cond=True, name="core")(x, temb, train)
+        if self.dtype is not None:
+            temb = temb.astype(self.dtype)
+        return _UNetCore(time_cond=True, name="core", dtype=self.dtype)(
+            x, temb, train)
 
 
 @MODELS.register("Nocon")
@@ -235,8 +266,12 @@ class Nocon(nn.Module):
     """Unconditional denoiser eps_theta(x_t, t) for the deltamu ablation."""
 
     num_steps: int = 50
+    dtype: tl.Dtype = None
 
     @nn.compact
     def __call__(self, x, t, train: bool = False):
         temb = tl.TimeEmbedding(self.num_steps, name="time_embedding")(t)
-        return _UNetCore(time_cond=True, name="core")(x, temb, train)
+        if self.dtype is not None:
+            temb = temb.astype(self.dtype)
+        return _UNetCore(time_cond=True, name="core", dtype=self.dtype)(
+            x, temb, train)

@@ -70,7 +70,7 @@ class PReLU(nn.Module):
         if self.num_parameters > 1:
             # broadcast over the channel (last) axis
             a = a.reshape((1,) * (x.ndim - 1) + (self.num_parameters,))
-        return jnp.where(x >= 0, x, a * x)
+        return jnp.where(x >= 0, x, a.astype(x.dtype) * x)
 
 
 class BatchNorm(nn.Module):
@@ -84,6 +84,7 @@ class BatchNorm(nn.Module):
 
     use_running_average: Optional[bool] = None
     axis_name: Optional[str] = None
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, use_running_average: Optional[bool] = None):
@@ -95,6 +96,7 @@ class BatchNorm(nn.Module):
             momentum=0.9,
             epsilon=1e-5,
             axis_name=self.axis_name,
+            dtype=self.dtype,
         )(x)
 
 
@@ -105,6 +107,7 @@ def conv2d(
     dilation: Tuple[int, int] = (1, 1),
     padding="VALID",
     name: Optional[str] = None,
+    dtype: Dtype = None,
 ) -> nn.Conv:
     return nn.Conv(
         features,
@@ -113,6 +116,7 @@ def conv2d(
         kernel_dilation=dilation,
         padding=padding,
         kernel_init=torch_kernel_init,
+        dtype=dtype,
         name=name,
     )
 
@@ -124,6 +128,7 @@ def conv1d(
     dilation: int = 1,
     padding="VALID",
     name: Optional[str] = None,
+    dtype: Dtype = None,
 ) -> nn.Conv:
     return nn.Conv(
         features,
@@ -132,6 +137,7 @@ def conv1d(
         kernel_dilation=(dilation,),
         padding=padding,
         kernel_init=torch_kernel_init,
+        dtype=dtype,
         name=name,
     )
 
@@ -192,10 +198,13 @@ def _conv_transpose_f2(x, w, b, op_f: int):
     return out + b
 
 
-def conv_transpose(x, w, b, strides=(1, 1), output_padding=(0, 0)):
+def conv_transpose(x, w, b, strides=(1, 1), output_padding=(0, 0),
+                   dtype=None):
     """torch-semantics transposed conv; picks the phase-decomposed fast
     path for the models' stride-(1,2) odd-kernel case, else the general
     lhs-dilated formulation."""
+    if dtype is not None:
+        w, b = w.astype(dtype), b.astype(dtype)
     kh, kw = w.shape[:2]
     if strides == (1, 2) and kw % 2 == 1 and output_padding[0] == 0:
         return _conv_transpose_f2(x, w, b, output_padding[1])
@@ -210,13 +219,16 @@ def conv_transpose(x, w, b, strides=(1, 1), output_padding=(0, 0)):
 
 
 def conv_pair_fused(x, kb1, kb2, strides=(1, 1), transpose=False,
-                    output_padding=(0, 0), dilation=None, padding="VALID"):
+                    output_padding=(0, 0), dilation=None, padding="VALID",
+                    dtype=None):
     """Run two same-input convs as one (weights concatenated on the
     output-channel axis) and split the result.  Handles 1-D (``[B, T,
     C]`` with kernel ``[k, in, out]``) and 2-D NHWC."""
     (k1, b1), (k2, b2) = kb1, kb2
     k = jnp.concatenate([k1, k2], axis=-1)
     b = jnp.concatenate([b1, b2], axis=-1)
+    if dtype is not None:
+        k, b = k.astype(dtype), b.astype(dtype)
     n1 = k1.shape[-1]
     x = x.astype(k.dtype)
     if k.ndim == 3:  # 1-D conv
@@ -246,6 +258,7 @@ class ConvTranspose2d(nn.Module):
     kernel: Tuple[int, int]
     strides: Tuple[int, int] = (1, 1)
     output_padding: Tuple[int, int] = (0, 0)
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x):
@@ -259,7 +272,7 @@ class ConvTranspose2d(nn.Module):
         b = self.param(
             "bias", torch_bias_init(kh * kw * in_ch), (self.features,)
         )
-        return conv_transpose(x, w, b, (sh, sw), (oph, opw))
+        return conv_transpose(x, w, b, (sh, sw), (oph, opw), dtype=self.dtype)
 
 
 class Dense(nn.Module):

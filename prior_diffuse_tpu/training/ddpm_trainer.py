@@ -65,11 +65,22 @@ class ComplexDDPMTrainer(TrainerBase):
         self.alpha_bar = jnp.asarray(self.sched.alpha_bar, jnp.float32)
         self.num_steps = diff.num_steps
 
-        self.dis_model = MODELS.get(exp.model.name)()
+        cdt = (jnp.bfloat16 if self.cfg.compute_dtype in ("bfloat16", "bf16")
+               else None)
+        dis_cls = MODELS.get(exp.model.name)
+        dis_kwargs = (
+            {"dtype": cdt}
+            if cdt is not None
+            and "dtype" in getattr(dis_cls, "__dataclass_fields__", {})
+            else {}
+        )
+        self.dis_model = dis_cls(**dis_kwargs)
         # DDPM net is mode-determined, not config-named — the reference
         # ignores conf model_ddpm.name (trainer/complex_ddpm_trainer.py:70-75)
         ddpm_name = "Nocon" if self.mode == "deltamu" else "DiffUNet1"
-        self.ddpm_model = MODELS.get(ddpm_name)(num_steps=self.num_steps)
+        ddpm_kwargs = {"dtype": cdt} if cdt is not None else {}
+        self.ddpm_model = MODELS.get(ddpm_name)(num_steps=self.num_steps,
+                                                **ddpm_kwargs)
         self.loss_fn = LOSSES.get(self.cfg.loss)
 
         # init params
@@ -159,6 +170,7 @@ class ComplexDDPMTrainer(TrainerBase):
             dis_vars = {"params": params["dis"],
                         "batch_stats": state["dis"]["batch_stats"]}
             dis_out, new_dis_stats = self._dis_apply(dis_vars, feat, train=True)
+            dis_out = dis_out.astype(jnp.float32)
             if joint:
                 loss_dis = self.loss_fn(dis_out, label, frame_nums)
             else:
@@ -176,6 +188,7 @@ class ComplexDDPMTrainer(TrainerBase):
             eps, new_ddpm_stats = self._ddpm_apply(
                 ddpm_vars, x_t, cond, t, train=True
             )
+            eps = eps.astype(jnp.float32)
             if sigma:
                 loss_ddpm = com_mse_sigma_loss(eps, noise, frame_nums, sig)
             else:
