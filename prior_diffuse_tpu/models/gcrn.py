@@ -29,6 +29,7 @@ class GluConv2d(nn.Module):
     features: int
     kernel: tuple = (1, 3)
     strides: tuple = (1, 2)
+    dtype: tl.Dtype = None
 
     @nn.compact
     def __call__(self, x):
@@ -37,6 +38,7 @@ class GluConv2d(nn.Module):
             tl.ConvParams(self.features, self.kernel, x.shape[-1], name="conv1")(),
             tl.ConvParams(self.features, self.kernel, x.shape[-1], name="conv2")(),
             strides=self.strides,
+            dtype=self.dtype,
         )
         return a * jax.nn.sigmoid(g)
 
@@ -48,6 +50,7 @@ class GluConvTranspose2d(nn.Module):
     kernel: tuple = (1, 3)
     strides: tuple = (1, 2)
     output_padding: tuple = (0, 0)
+    dtype: tl.Dtype = None
 
     @nn.compact
     def __call__(self, x):
@@ -58,6 +61,7 @@ class GluConvTranspose2d(nn.Module):
             strides=self.strides,
             transpose=True,
             output_padding=self.output_padding,
+            dtype=self.dtype,
         )
         return a * jax.nn.sigmoid(g)
 
@@ -101,42 +105,56 @@ class _Decoder(nn.Module):
     the ELU is applied after concatenation, i.e. to the skip as well.
     """
 
+    dtype: tl.Dtype = None
+
     @nn.compact
     def __call__(self, x, skips, train: bool):
         e1, e2, e3, e4 = skips
-        bn = lambda name: tl.BatchNorm(use_running_average=not train, name=name)
-        d = GluConvTranspose2d(128, name="conv5_t")(x)
-        d = ELU(jnp.concatenate([bn("bn5_t")(d), e4], axis=-1))
-        d = GluConvTranspose2d(64, name="conv4_t")(d)
-        d = ELU(jnp.concatenate([bn("bn4_t")(d), e3], axis=-1))
-        d = GluConvTranspose2d(32, name="conv3_t")(d)
-        d = ELU(jnp.concatenate([bn("bn3_t")(d), e2], axis=-1))
-        d = GluConvTranspose2d(16, output_padding=(0, 1), name="conv2_t")(d)
-        d = ELU(jnp.concatenate([bn("bn2_t")(d), e1], axis=-1))
-        d = GluConvTranspose2d(1, name="conv1_t")(d)
+        dt = self.dtype
+        bn = lambda name: tl.BatchNorm(use_running_average=not train,
+                                       name=name, dtype=dt)
+        cat = lambda a, b: jnp.concatenate([a, b.astype(a.dtype)], axis=-1)
+        d = GluConvTranspose2d(128, name="conv5_t", dtype=dt)(x)
+        d = ELU(cat(bn("bn5_t")(d), e4))
+        d = GluConvTranspose2d(64, name="conv4_t", dtype=dt)(d)
+        d = ELU(cat(bn("bn4_t")(d), e3))
+        d = GluConvTranspose2d(32, name="conv3_t", dtype=dt)(d)
+        d = ELU(cat(bn("bn3_t")(d), e2))
+        d = GluConvTranspose2d(16, output_padding=(0, 1), name="conv2_t", dtype=dt)(d)
+        d = ELU(cat(bn("bn2_t")(d), e1))
+        d = GluConvTranspose2d(1, name="conv1_t", dtype=dt)(d)
         d = ELU(bn("bn1_t")(d))
         # Dense(161) over the frequency axis (reference fc1/fc2)
-        out = nn.Dense(161, name="fc")(d[..., 0])  # [B, T, 161]
+        out = nn.Dense(161, name="fc", dtype=dt,
+                       kernel_init=tl.torch_kernel_init)(d[..., 0])
         return out
 
 
 @MODELS.register("GCRN")
 class GCRN(nn.Module):
-    """Complex-spectrum prior; ``[B, T, F=161, 2] -> [B, T, 161, 2]``."""
+    """Complex-spectrum prior; ``[B, T, F=161, 2] -> [B, T, 161, 2]``.
+
+    ``dtype``: compute dtype for the conv/dense path (params stay f32);
+    the grouped-LSTM bottleneck always runs f32 — bf16 recurrence
+    carries drift over long sequences."""
+
+    dtype: tl.Dtype = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        bn = lambda name: tl.BatchNorm(use_running_average=not train, name=name)
-        e1 = ELU(bn("bn1")(GluConv2d(16, name="conv1")(x)))
-        e2 = ELU(bn("bn2")(GluConv2d(32, name="conv2")(e1)))
-        e3 = ELU(bn("bn3")(GluConv2d(64, name="conv3")(e2)))
-        e4 = ELU(bn("bn4")(GluConv2d(128, name="conv4")(e3)))
-        e5 = ELU(bn("bn5")(GluConv2d(256, name="conv5")(e4)))
+        dt = self.dtype
+        bn = lambda name: tl.BatchNorm(use_running_average=not train,
+                                       name=name, dtype=dt)
+        e1 = ELU(bn("bn1")(GluConv2d(16, name="conv1", dtype=dt)(x)))
+        e2 = ELU(bn("bn2")(GluConv2d(32, name="conv2", dtype=dt)(e1)))
+        e3 = ELU(bn("bn3")(GluConv2d(64, name="conv3", dtype=dt)(e2)))
+        e4 = ELU(bn("bn4")(GluConv2d(128, name="conv4", dtype=dt)(e3)))
+        e5 = ELU(bn("bn5")(GluConv2d(256, name="conv5", dtype=dt)(e4)))
 
-        out = GLSTM(name="glstm")(e5)
-        out = jnp.concatenate([out, e5], axis=-1)  # [B, T, 4, 512]
+        out = GLSTM(name="glstm")(e5.astype(jnp.float32))
+        out = jnp.concatenate([out.astype(e5.dtype), e5], axis=-1)
 
         skips = (e1, e2, e3, e4)
-        real = _Decoder(name="dec_real")(out, skips, train)
-        imag = _Decoder(name="dec_imag")(out, skips, train)
+        real = _Decoder(name="dec_real", dtype=dt)(out, skips, train)
+        imag = _Decoder(name="dec_imag", dtype=dt)(out, skips, train)
         return jnp.stack([real, imag], axis=-1)

@@ -30,12 +30,15 @@ class GLU(nn.Module):
 
     dilation: int
     causal: bool = False
+    dtype: tl.Dtype = None
 
     @nn.compact
     def __call__(self, x, train: bool):
-        bn = lambda name: tl.BatchNorm(use_running_average=not train, name=name)
+        dt = self.dtype
+        bn = lambda name: tl.BatchNorm(use_running_average=not train,
+                                       name=name, dtype=dt)
         inp = x
-        x = tl.conv1d(64, 1, name="in_conv")(x)
+        x = tl.conv1d(64, 1, name="in_conv", dtype=dt)(x)
         x = bn("in_bn")(x)
         pad = (
             ((6 * self.dilation, 0),)
@@ -51,54 +54,61 @@ class GLU(nn.Module):
             strides=(1,),
             dilation=(self.dilation,),
             padding=pad,
+            dtype=dt,
         )
         left = bn("left_bn")(left)
         right = jax.nn.sigmoid(bn("right_bn")(right))
         x = left * right
-        x = tl.conv1d(256, 1, name="out_conv")(x)
+        x = tl.conv1d(256, 1, name="out_conv", dtype=dt)(x)
         x = bn("out_bn")(x)
         out = x
-        return ELU(x + inp), out
+        return ELU(x + inp.astype(x.dtype)), out
 
 
 @MODELS.register("GRN")
 class GRN(nn.Module):
+    dtype: tl.Dtype = None
+
     @nn.compact
     def __call__(self, x, train: bool = False):
-        bn = lambda name: tl.BatchNorm(use_running_average=not train, name=name)
+        dt = self.dtype
+        bn = lambda name: tl.BatchNorm(use_running_average=not train,
+                                       name=name, dtype=dt)
         inp = x  # [B, T, 161]
         h = x[..., None]  # [B, T, F, 1]
         # dilated front-end (dilation along freq: 1, 1, 2, 4)
-        h = ELU(tl.conv2d(16, (5, 5), padding=((2, 2), (2, 2)), name="dila1")(h))
-        h = ELU(tl.conv2d(16, (5, 5), padding=((2, 2), (2, 2)), name="dila2")(h))
+        h = ELU(tl.conv2d(16, (5, 5), padding=((2, 2), (2, 2)), name="dila1", dtype=dt)(h))
+        h = ELU(tl.conv2d(16, (5, 5), padding=((2, 2), (2, 2)), name="dila2", dtype=dt)(h))
         h = ELU(
             tl.conv2d(
-                32, (5, 5), dilation=(1, 2), padding=((2, 2), (4, 4)), name="dila3"
+                32, (5, 5), dilation=(1, 2), padding=((2, 2), (4, 4)),
+                name="dila3", dtype=dt
             )(h)
         )
         h = ELU(
             tl.conv2d(
-                32, (5, 5), dilation=(1, 4), padding=((2, 2), (8, 8)), name="dila4"
+                32, (5, 5), dilation=(1, 4), padding=((2, 2), (8, 8)),
+                name="dila4", dtype=dt
             )(h)
         )
         # flatten (C, F) c-major like the reference permute+reshape
         b, t, f, c = h.shape
         h = h.transpose(0, 1, 3, 2).reshape(b, t, c * f)  # [B, T, 5152]
-        h = tl.conv1d(256, 1, name="conv1d_in")(h)
+        h = tl.conv1d(256, 1, name="conv1d_in", dtype=dt)(h)
         h = jax.nn.relu(bn("bn_in")(h))
 
         outs = []
         for g in range(3):
             for i in range(6):
-                h, out = GLU(2**i, name=f"glu_{g}_{i}")(h, train)
+                h, out = GLU(2**i, name=f"glu_{g}_{i}", dtype=dt)(h, train)
                 outs.append(out)
         for out in outs:
             h = h + out
 
-        h = tl.conv1d(256, 1, name="conv1d_3")(h)
+        h = tl.conv1d(256, 1, name="conv1d_3", dtype=dt)(h)
         h = ELU(bn("bn3")(h))
-        h = tl.conv1d(128, 1, name="conv1d_4")(h)
+        h = tl.conv1d(128, 1, name="conv1d_4", dtype=dt)(h)
         h = bn("bn4")(h)
-        h = tl.conv1d(161, 1, name="conv1d_5")(h)
+        h = tl.conv1d(161, 1, name="conv1d_5", dtype=dt)(h)
         mask = jax.nn.sigmoid(bn("bn5")(h))  # [B, T, 161]
-        return inp * mask
+        return inp * mask.astype(inp.dtype)
