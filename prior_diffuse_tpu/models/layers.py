@@ -374,6 +374,7 @@ class MultiHeadAttention(nn.Module):
 
     d_model: int
     num_heads: int
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x):
@@ -385,6 +386,10 @@ class MultiHeadAttention(nn.Module):
         b_in = self.param("b_in", nn.initializers.zeros_init(), (3 * d,))
         w_out = self.param("w_out", torch_kernel_init, (d, d))
         b_out = self.param("b_out", nn.initializers.zeros_init(), (d,))
+        if self.dtype is not None:
+            w_in, b_in = w_in.astype(self.dtype), b_in.astype(self.dtype)
+            w_out, b_out = w_out.astype(self.dtype), b_out.astype(self.dtype)
+            x = x.astype(self.dtype)
 
         qkv = x @ w_in + b_in
         q, k, v = jnp.split(qkv, 3, axis=-1)
