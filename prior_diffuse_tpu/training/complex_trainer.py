@@ -29,7 +29,16 @@ class ComplexTrainer(TrainerBase):
     def __init__(self, run: RunConfig, exp: ExperimentConfig, mesh=None,
                  metrics_logger=None):
         super().__init__(run, exp, mesh, metrics_logger)
-        self.model = MODELS.get(exp.model.name)()
+        cdt = (jnp.bfloat16 if self.cfg.compute_dtype in ("bfloat16", "bf16")
+               else None)
+        model_cls = MODELS.get(exp.model.name)
+        kwargs = (
+            {"dtype": cdt}
+            if cdt is not None
+            and "dtype" in getattr(model_cls, "__dataclass_fields__", {})
+            else {}
+        )
+        self.model = model_cls(**kwargs)
         self.loss_fn = LOSSES.get(self.cfg.loss)
 
         k = jax.random.PRNGKey(run.seed)
@@ -79,6 +88,7 @@ class ComplexTrainer(TrainerBase):
                 {"params": params, "batch_stats": state["model"]["batch_stats"]},
                 feat, train=True,
             )
+            est = est.astype(jnp.float32)
             return self.loss_fn(est, label, frame_nums), new_stats
 
         (loss, new_stats), grads = jax.value_and_grad(loss_of, has_aux=True)(
