@@ -128,6 +128,34 @@ class TrainerBase:
     def put_replicated(self, tree):
         return jax.device_put(tree, self.replicated)
 
+    # ---- checkpoint payloads ----------------------------------------------
+    # Unlike the reference (positional state-dict list that drops the
+    # epoch counter, RNG and plateau state — trainer/complex_ddpm_
+    # trainer.py:612-631), checkpoints carry the full training context.
+    def ckpt_payload(self):
+        return {
+            "state": jax.tree.map(np.asarray, self.state),
+            "meta": {
+                # 0-d ndarrays: orbax StandardSave rejects numpy scalars
+                "step": np.array(self.step, np.int64),
+                # legacy uint32[2] PRNG keys round-trip as plain arrays
+                "rng": np.asarray(self.rng),
+                "plateau_prev": np.array(self.plateau.prev_loss, np.float64),
+                "plateau_best": np.array(self.plateau.best_loss, np.float64),
+                "plateau_bad": np.array(self.plateau.bad_epochs, np.int64),
+            },
+        }
+
+    def restore_payload(self, payload) -> None:
+        self.state = self.put_replicated(payload["state"])
+        meta = payload.get("meta")
+        if meta is not None:
+            self.step = int(meta["step"])
+            self.rng = jnp.asarray(meta["rng"])
+            self.plateau.prev_loss = float(meta["plateau_prev"])
+            self.plateau.best_loss = float(meta["plateau_best"])
+            self.plateau.bad_epochs = int(meta["plateau_bad"])
+
     # ---- epoch-driver helpers --------------------------------------------
     def check_nan(self, loss: float):
         if not np.isfinite(loss):

@@ -60,9 +60,9 @@ class ComplexTrainer(TrainerBase):
         self._eval_step = jax.jit(self._eval_step_impl)
 
         if run.retrain:
-            restored = self.ckpt.restore_latest(jax.tree.map(np.asarray, self.state))
+            restored = self.ckpt.restore_latest(self.ckpt_payload())
             if restored is not None:
-                self.state = self.put_replicated(restored)
+                self.restore_payload(restored)
                 last = self.ckpt.latest_epoch()
                 self.epoch = 0 if last is None else last + 1
 
@@ -144,10 +144,10 @@ class ComplexTrainer(TrainerBase):
                 lr = get_lr(self.state["opt"]) / 2.0
                 self.state["opt"] = set_lr(self.state["opt"], lr)
                 logging.info("Learning rate adjusted to %f", lr)
-            host_state = jax.tree.map(np.asarray, self.state)
+            payload = self.ckpt_payload()
             if is_best:
-                self.ckpt.save_best(host_state)
-            self.ckpt.save_epoch(self.epoch, host_state)
+                self.ckpt.save_best(payload)
+            self.ckpt.save_epoch(self.epoch, payload)
             self.epoch += 1
             if stop:
                 logging.info("No improvement and apply early stop")
@@ -157,9 +157,9 @@ class ComplexTrainer(TrainerBase):
     train_ddpm = train
 
     def load_best(self):
-        restored = self.ckpt.restore_best(jax.tree.map(np.asarray, self.state))
+        restored = self.ckpt.restore_best(self.ckpt_payload())
         if restored is not None:
-            self.state = self.put_replicated(restored)
+            self.restore_payload(restored)
         return restored is not None
 
     def enhance_batch(self, noisy_padded, rng):

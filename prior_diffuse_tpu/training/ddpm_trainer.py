@@ -123,14 +123,13 @@ class ComplexDDPMTrainer(TrainerBase):
         )
 
         if run.retrain:
-            restored = self.ckpt.restore_latest(
-                jax.tree.map(np.asarray, self.state)
-            )
+            restored = self.ckpt.restore_latest(self.ckpt_payload())
             if restored is not None:
-                self.state = self.put_replicated(restored)
+                self.restore_payload(restored)
                 last = self.ckpt.latest_epoch()
                 self.epoch = 0 if last is None else last + 1
-                logging.info("resumed at epoch %d", self.epoch)
+                logging.info("resumed at epoch %d (step %d)",
+                             self.epoch, self.step)
 
     # ---- functional cores -------------------------------------------------
     def _dis_apply(self, variables, feat, train):
@@ -325,11 +324,11 @@ class ComplexDDPMTrainer(TrainerBase):
             halve, stop, is_best = self.plateau.update(cv_loss)
             if halve:
                 self._halve_lrs()
-            host_state = jax.tree.map(np.asarray, self.state)
+            payload = self.ckpt_payload()
             if is_best:
                 logging.info("new best cv loss %.5f; saving best", cv_loss)
-                self.ckpt.save_best(host_state)
-            self.ckpt.save_epoch(self.epoch, host_state)
+                self.ckpt.save_best(payload)
+            self.ckpt.save_epoch(self.epoch, payload)
             self.epoch += 1
             if stop:
                 logging.info("No improvement and apply early stop")
@@ -437,9 +436,9 @@ class ComplexDDPMTrainer(TrainerBase):
         return self._enhance_jit(self._serve_state, wav, rng)
 
     def load_best(self):
-        restored = self.ckpt.restore_best(jax.tree.map(np.asarray, self.state))
+        restored = self.ckpt.restore_best(self.ckpt_payload())
         if restored is not None:
-            self.state = self.put_replicated(restored)
+            self.restore_payload(restored)
         return restored is not None
 
     def generate_wav(self, load_pre_train: bool = True,

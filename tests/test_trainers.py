@@ -84,6 +84,11 @@ def test_ddpm_checkpoint_resume(tmp_path, corpus):
     run2 = _run(tmp_path, corpus, joint=True, retrain=True)
     tr2 = ComplexDDPMTrainer(run2, exp)
     assert tr2.epoch == 1  # resumed past epoch 0
+    # full training context restored: step, RNG, plateau state
+    assert tr2.step == tr.step
+    assert np.array_equal(np.asarray(tr2.rng), np.asarray(tr.rng))
+    assert tr2.plateau.best_loss == tr.plateau.best_loss
+    assert tr2.plateau.prev_loss == tr.plateau.prev_loss
     # restored params identical to saved
     import jax
 
