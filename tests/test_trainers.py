@@ -151,3 +151,18 @@ def test_training_reduces_loss(tmp_path, corpus):
         )
         losses.append(float(l_dis))
     assert losses[-1] < losses[0]
+
+
+def test_draw_audio_writes_figures(tmp_path, corpus):
+    exp = ExperimentConfig(
+        train=_tiny_train(),
+        model=ModelConfig("DiffUNet"),
+        optim_ddpm=OptimConfig(lr=2e-4),
+    )
+    run = _run(tmp_path, corpus, draw=True)
+    from prior_diffuse_tpu.training import ComplexDDPMTrainer
+
+    tr = ComplexDDPMTrainer(run, exp)
+    out_dir = tr.draw_audio(max_batches=1)
+    pngs = [f for f in os.listdir(out_dir) if f.endswith(".png")]
+    assert len(pngs) >= 1
