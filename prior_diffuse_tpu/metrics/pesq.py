@@ -26,6 +26,25 @@ except ImportError:  # pragma: no cover
     HAVE_PESQ = False
 
 
+def pesq_mode() -> str:
+    """Which regime produced PESQ values (and therefore CSIG/CBAK/COVL):
+
+    * ``"p862"``  — the real ITU P.862 binding;
+    * ``"approx"`` — the in-repo approximation (``PDT_APPROX_PESQ=1``),
+      scores labeled approximate;
+    * ``"absent"`` — no PESQ available: composite() substitutes 0.0 for
+      the PESQ term, so CSIG/CBAK/COVL are systematically deflated and
+      must not be compared against PESQ-bearing numbers.
+    """
+    if HAVE_PESQ:
+        return "p862"
+    import os
+
+    if os.environ.get("PDT_APPROX_PESQ") == "1":
+        return "approx"
+    return "absent"
+
+
 def _nb_remap(mos: float) -> float:
     return 46607 / 14945 - (2000 * np.log(1 / (mos / 4 - 999 / 4000) - 1)) / 2989
 

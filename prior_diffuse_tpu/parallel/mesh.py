@@ -2,10 +2,15 @@
 
 The reference is single-process/single-GPU (raw ``.cuda()`` placement,
 ``trainer/complex_ddpm_trainer.py:69-75``); the TPU-native scaling story
-is GSPMD: a ``jax.sharding.Mesh`` with a data-parallel axis (``dp``) and
-an optional model axis (``mp``, off by default — the largest layer here
-is a 1024-wide GLSTM, SURVEY 2.8), ``NamedSharding`` annotations on the
-jit boundary, and XLA-inserted collectives over ICI.
+is GSPMD: a ``jax.sharding.Mesh`` with a data-parallel axis (``dp``),
+``NamedSharding`` annotations on the jit boundary, and XLA-inserted
+collectives over ICI.
+
+Tensor/pipeline parallelism is deliberately NOT provided: the largest
+layer in the model zoo is a 1024-wide GLSTM and the largest model is
+under 10 M parameters (SURVEY 2.8), so intra-layer sharding would only
+add collective latency.  Scaling is pure data parallel; see
+PARITY.md "Parallelism".
 
 Under GSPMD a sharded-batch jit computes *global* batch statistics for
 BatchNorm and global loss means automatically — the multi-chip
@@ -25,18 +30,15 @@ def device_count() -> int:
     return jax.device_count()
 
 
-def make_mesh(
-    dp: Optional[int] = None, mp: int = 1, devices=None
-) -> Mesh:
-    """1-D (dp) or 2-D (dp, mp) mesh over the available devices.
+def make_mesh(dp: Optional[int] = None, devices=None) -> Mesh:
+    """1-D data-parallel mesh over the available devices.
 
-    ``dp=None`` uses all devices (divided by ``mp``).
+    ``dp=None`` uses all devices.
     """
     devices = np.asarray(devices if devices is not None else jax.devices())
     if dp is None:
-        dp = len(devices) // mp
-    devices = devices[: dp * mp].reshape(dp, mp)
-    return Mesh(devices, ("dp", "mp"))
+        dp = len(devices)
+    return Mesh(devices[:dp], ("dp",))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

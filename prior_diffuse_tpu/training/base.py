@@ -162,7 +162,13 @@ class TrainerBase:
             raise RuntimeError(f"Detected NaN loss at step {self.step}.")
 
     def log_eval(self, prefix: str, loss: float, metrics6) -> None:
+        from prior_diffuse_tpu.metrics.pesq import pesq_mode
+
         csig, cbak, covl, pesq, ssnr, stoi = metrics6
+        # CSIG/CBAK/COVL are regressions ON PESQ; when no PESQ backend is
+        # available the 0.0 substitute deflates them, so every eval record
+        # carries the regime that produced these numbers.
+        mode = pesq_mode()
         self.metrics.log(
             {
                 f"{prefix}_loss": loss,
@@ -172,10 +178,12 @@ class TrainerBase:
                 f"{prefix}_mean_pesq": pesq,
                 f"{prefix}_mean_ssnr": ssnr,
                 f"{prefix}_mean_stoi": stoi,
+                "pesq_mode": mode,
             },
             step=self.step,
         )
+        note = "" if mode == "p862" else f" [pesq={mode}]"
         logging.info(
-            "%s: loss %.5f csig %.3f cbak %.3f covl %.3f pesq %.3f ssnr %.3f stoi %.3f",
-            prefix, loss, csig, cbak, covl, pesq, ssnr, stoi,
+            "%s: loss %.5f csig %.3f cbak %.3f covl %.3f pesq %.3f ssnr %.3f stoi %.3f%s",
+            prefix, loss, csig, cbak, covl, pesq, ssnr, stoi, note,
         )

@@ -245,27 +245,6 @@ class ComplexDDPMTrainer(TrainerBase):
         return audio, label, loss
 
     # ---- drivers ----------------------------------------------------------
-    def train_epoch(self) -> float:
-        last = 0.0
-        for batch in self.tr_loader:
-            self.rng, step_rng = jax.random.split(self.rng)
-            noisy, clean, frames = self.put_batch(
-                batch.noisy, batch.clean, batch.frame_nums
-            )
-            self.state, total, loss_dis, loss_ddpm = self._train_step(
-                self.state, noisy, clean, frames, step_rng
-            )
-            total = float(total)
-            self.check_nan(total)
-            self.metrics.log(
-                {"dis_loss": float(loss_dis), "ddpm_loss": float(loss_ddpm),
-                 "loss_sum": total},
-                step=self.step,
-            )
-            self.step += 1
-            last = total
-        return last
-
     def evaluate(self) -> float:
         losses, results = [], []
         for batch in self.cv_loader:
@@ -390,7 +369,7 @@ class ComplexDDPMTrainer(TrainerBase):
         """Full on-device enhance of an RMS-normalized padded batch
         ``[B, L] -> [B, L]`` (wav -> STFT -> prior -> scan sampler ->
         decompress -> ISTFT), model compute in ``serve_dtype``."""
-        if not hasattr(self, "_enhance_jit"):
+        if getattr(self, "_enhance_dtype", None) != self.serve_dtype:
             from prior_diffuse_tpu.signal.compress import decompress_spec
             from prior_diffuse_tpu.signal.stft import istft
 
@@ -423,15 +402,23 @@ class ComplexDDPMTrainer(TrainerBase):
                              fft_num=cfg.fft_num, win_size=cfg.win_size,
                              win_shift=cfg.win_shift)
 
+            self._enhance_jit = jax.jit(impl)
+            self._enhance_dtype = dt
+            self._serve_src = None
+        # re-derive the serve state whenever the training state object has
+        # changed (train step / load_best / restore all rebind self.state),
+        # so serving never runs on stale weights
+        if getattr(self, "_serve_src", None) is not self.state:
+            dt = self._enhance_dtype
             if dt != jnp.float32:
-                state = {
+                cast = {
                     "dis": jax.tree.map(lambda p: p.astype(dt), self.state["dis"]),
                     "ddpm": jax.tree.map(lambda p: p.astype(dt), self.state["ddpm"]),
                 }
-                self._serve_state = {**self.state, **state}
+                self._serve_state = {**self.state, **cast}
             else:
                 self._serve_state = self.state
-            self._enhance_jit = jax.jit(impl)
+            self._serve_src = self.state
         wav = self.put_batch(noisy_padded)[0]
         return self._enhance_jit(self._serve_state, wav, rng)
 

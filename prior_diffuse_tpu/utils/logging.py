@@ -53,7 +53,11 @@ class MetricsLogger:
                 logging.warning("wandb requested but not installed; skipping")
 
     def log(self, metrics: Dict[str, float], step: Optional[int] = None) -> None:
-        record = {"time": time.time(), **{k: float(v) for k, v in metrics.items()}}
+        record = {
+            "time": time.time(),
+            **{k: (v if isinstance(v, str) else float(v))
+               for k, v in metrics.items()},
+        }
         if step is not None:
             record["step"] = int(step)
         if self._file:

@@ -14,11 +14,12 @@ import numpy as np
 
 def main(root: str = "data"):
     from prior_diffuse_tpu.metrics.compare import compare
+    from prior_diffuse_tpu.metrics.pesq import pesq_mode
 
     res = compare(f"{root}/clean_testset_wav", f"{root}/noisy_testset_wav")
     pm = np.mean(np.asarray(res), axis=0)
     print("csig:%6.4f cbak:%6.4f covl:%6.4f pesq:%6.4f ssnr:%6.4f stoi:%6.4f"
-          % tuple(pm))
+          " [pesq=%s]" % (*pm, pesq_mode()))
 
 
 if __name__ == "__main__":
