@@ -1,8 +1,13 @@
-"""Benchmark: end-to-end Prior-DiffuSE enhancement RTF on one chip.
+"""Benchmark: Prior-DiffuSE north-star metrics on one chip.
 
-Measures the flagship pipeline — waveform -> STFT -> DiffUNet prior ->
-6-step DiffUNet1 reverse scan -> ISTFT -> waveform — as one jit on a
-batch of 3-second utterances, and prints ONE JSON line.
+Primary metric (the JSON line's headline): end-to-end enhancement RTF
+in bfloat16 — waveform -> STFT -> DiffUNet prior -> 6-step DiffUNet1
+reverse scan -> ISTFT -> waveform, one jit, batch of 8 x 3 s
+utterances.  The ``extra`` dict carries the rest of the suite:
+f32 RTF, utterances/sec/chip, joint train-step latency (the production
+``ComplexDDPMTrainer`` jit at the reference's batch 6 x 48k samples),
+model-FLOP throughput + MFU estimates, and the Pallas-vs-XLA STFT
+kernel comparison.
 
 Measurement methodology (important on this environment): the axon PJRT
 ``block_until_ready`` returns before execution completes, so naive
@@ -14,13 +19,16 @@ forces completion) and take the slope:
 
 Baseline: the PyTorch reference's equivalent inference loop (DiffUNet +
 6x DiffUNet1, batch 1, fast schedule, trainer/complex_ddpm_trainer.py:
-903-1018) measured on this host's CPU (single core, torch 2.13):
+903-1018) measured on this host's CPU (single core, torch 2.x):
 2.885 s per 3 s utterance => RTF 1.04.  The reference publishes no
-hardware throughput numbers (BASELINE.md), so that measured value is
-the recorded comparison point.
+hardware throughput numbers at all (BASELINE.md), so that measured
+torch-CPU value is the only available comparison point; it is a weak
+baseline and deliberately labeled as such here.
 """
 
 import json
+import os
+import statistics
 import time
 
 REFERENCE_RTF = 1.04  # torch CPU measurement, see module docstring
@@ -28,13 +36,43 @@ REFERENCE_RTF = 1.04  # torch CPU measurement, see module docstring
 BATCH = 8
 SECONDS = 3.0
 CHUNK = 48000
+TRAIN_BATCH = 6  # the reference diff.yml batch size
 N1, N2 = 1, 6
 
+# chip bf16 matmul peaks (for the MFU estimate); f32 runs at half this
+_PEAK_BF16 = {"v5 lite": 197e12, "v5e": 197e12, "v4": 275e12,
+              "v6 lite": 918e12, "v6e": 918e12}
 
-def main():
-    import jax
-    import jax.numpy as jnp
 
+def _slope(run_chain, reps=3):
+    vals = []
+    for _ in range(reps):
+        t1 = run_chain(N1)
+        t2 = run_chain(N2)
+        vals.append((t2 - t1) / (N2 - N1))
+    return statistics.median(vals)
+
+
+def _peak_flops(device) -> float:
+    kind = getattr(device, "device_kind", "").lower()
+    for key, peak in _PEAK_BF16.items():
+        if key in kind:
+            return peak
+    return 0.0
+
+
+def _flops_of(lowered) -> float:
+    try:
+        analysis = lowered.compile().cost_analysis()
+        if isinstance(analysis, list):
+            analysis = analysis[0]
+        return float(analysis.get("flops", 0.0)) if analysis else 0.0
+    except Exception:
+        return 0.0
+
+
+def bench_enhance(jax, jnp, dtype):
+    """RTF of the full enhancement jit at the given compute dtype."""
     from prior_diffuse_tpu.config import DiffusionConfig, TrainConfig
     from prior_diffuse_tpu.diffusion import inference_schedule, reverse_sample
     from prior_diffuse_tpu.models import DiffUNet, DiffUNet1
@@ -53,19 +91,26 @@ def main():
     dummy = jnp.zeros((1, t_frames, cfg.freq_bins, 2))
     dis_vars = dis.init(k1, dummy)
     ddpm_vars = ddpm.init(k2, dummy, dummy, jnp.zeros((1,)))
+    if dtype != jnp.float32:
+        cast = lambda t: jax.tree.map(lambda p: p.astype(dtype), t)
+        dis_vars, ddpm_vars = cast(dis_vars), cast(ddpm_vars)
 
     @jax.jit
     def enhance(dis_vars, ddpm_vars, wav, rng):
         feat = compress_spec(stft(wav), cfg.feat_type)
-        x_init = dis.apply(dis_vars, feat, mutable=False) / diff.scale_c
+        x_init = (dis.apply(dis_vars, feat.astype(dtype), mutable=False)
+                  .astype(dtype) / jnp.asarray(diff.scale_c, dtype))
 
         def model_fn(x, t):
-            return ddpm.apply(ddpm_vars, x, x_init, t, mutable=False)
+            return ddpm.apply(ddpm_vars, x.astype(dtype), x_init,
+                              t.astype(dtype), mutable=False).astype(dtype)
 
         audio = reverse_sample(
-            model_fn, rng, x_init, x_init.shape, sched, "pirorgrad"
+            model_fn, rng, x_init, x_init.shape, sched, "pirorgrad",
+            dtype=dtype,
         )
-        spec = decompress_spec(audio * diff.scale_c, cfg.feat_type)
+        spec = decompress_spec(audio.astype(jnp.float32) * diff.scale_c,
+                               cfg.feat_type)
         return istft(spec, length=wav.shape[-1])
 
     wav = jax.random.normal(k3, (BATCH, CHUNK)) * 0.1
@@ -79,24 +124,162 @@ def main():
         float(jnp.sum(w))  # scalar readback forces true completion
         return time.time() - t0
 
-    import statistics
+    step = _slope(chained)
+    flops = _flops_of(enhance.lower(dis_vars, ddpm_vars, wav, k4))
+    return BATCH * SECONDS / step, BATCH / step, step, flops
 
-    steps = []
-    for _ in range(3):
-        t1 = chained(N1)
-        t2 = chained(N2)
-        steps.append((t2 - t1) / (N2 - N1))
-    wall = statistics.median(steps)
 
-    audio_seconds = BATCH * SECONDS
-    rtf = audio_seconds / wall
+def bench_train_step(jax, jnp, tmpdir):
+    """Latency of the production joint train step (batch 6 x 48k)."""
+    from prior_diffuse_tpu.config import (
+        DiffusionConfig, ExperimentConfig, ModelConfig, OptimConfig,
+        RunConfig, TrainConfig,
+    )
+    from prior_diffuse_tpu.data import synthetic
+    from prior_diffuse_tpu.training import ComplexDDPMTrainer
+
+    corpus = synthetic.write_corpus(
+        f"{tmpdir}/data", n_train=TRAIN_BATCH, n_test=2,
+        min_len=CHUNK, max_len=CHUNK + 1600, seed=0,
+    )
+    exp = ExperimentConfig(
+        train=TrainConfig(batch_size=TRAIN_BATCH, n_epochs=1,
+                          loss="com_mse_loss", chunk_length=CHUNK),
+        model=ModelConfig("DiffUNet"),
+        optim=OptimConfig(lr=5e-4),
+        optim_ddpm=OptimConfig(lr=2e-4),
+        diffusion=DiffusionConfig(),
+    )
+    run = RunConfig(assets=f"{tmpdir}/assets", doc="bench", data_root=corpus,
+                    joint=True)
+    tr = ComplexDDPMTrainer(run, exp)
+    batch = next(iter(tr.tr_loader))
+    noisy, clean, frames = tr.put_batch(batch.noisy, batch.clean,
+                                        batch.frame_nums)
+    rng = jax.random.PRNGKey(0)
+    flops = _flops_of(tr._train_step.lower(tr.state, noisy, clean, frames, rng))
+
+    state, total, *_ = tr._train_step(tr.state, noisy, clean, frames, rng)
+    float(total)  # compile + warmup
+
+    def chained(n):
+        nonlocal state
+        t0 = time.time()
+        total = None
+        for i in range(n):
+            state, total, *_ = tr._train_step(
+                state, noisy, clean, frames, jax.random.fold_in(rng, i)
+            )
+        float(total)  # the state-feedback chain ends in a scalar readback
+        return time.time() - t0
+
+    step = _slope(chained)
+    return step, flops
+
+
+def bench_stft_paths(jax, jnp):
+    """Pallas vs XLA STFT+ISTFT round-trip on [8, 48000]."""
+    from prior_diffuse_tpu.signal.stft import istft, stft
+
+    wav = jax.random.normal(jax.random.PRNGKey(1), (BATCH, CHUNK)) * 0.1
+
+    @jax.jit
+    def xla_rt(w):
+        return istft(stft(w), length=w.shape[-1])
+
+    result = {}
+    y_x = xla_rt(wav)
+    float(jnp.sum(y_x))
+
+    def chain(fn, n):
+        t0 = time.time()
+        w = wav
+        for _ in range(n):
+            w = fn(w)
+        float(jnp.sum(w))
+        return time.time() - t0
+
+    result["stft_xla_ms"] = round(_slope(lambda n: chain(xla_rt, n)) * 1e3, 3)
+
+    try:
+        from prior_diffuse_tpu.ops.pallas import istft_pallas, stft_pallas
+
+        @jax.jit
+        def pallas_rt(w):
+            return istft_pallas(stft_pallas(w), length=w.shape[-1])
+
+        y_p = pallas_rt(wav)
+        err = float(jnp.max(jnp.abs(y_p - y_x)))
+        result["stft_pallas_ms"] = round(
+            _slope(lambda n: chain(pallas_rt, n)) * 1e3, 3
+        )
+        result["stft_pallas_vs_xla_maxerr"] = err
+    except Exception as e:  # Mosaic compile failure stays visible
+        result["stft_pallas_error"] = f"{type(e).__name__}: {e}"[:200]
+    return result
+
+
+def main():
+    # persistent compile cache: repeat runs (and the driver's run) skip
+    # the multi-minute XLA compiles
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    peak = _peak_flops(jax.devices()[0])
+
+    rtf_f32, utt_f32, step_f32, flops_enh = bench_enhance(jax, jnp, jnp.float32)
+    rtf_bf16, utt_bf16, step_bf16, _ = bench_enhance(jax, jnp, jnp.bfloat16)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        train_step_s, flops_train = bench_train_step(jax, jnp, tmp)
+
+    stft_cmp = bench_stft_paths(jax, jnp)
+
+    extra = {
+        "device": getattr(jax.devices()[0], "device_kind", "unknown"),
+        "enhance_rtf_f32": round(rtf_f32, 2),
+        "enhance_rtf_bf16": round(rtf_bf16, 2),
+        "utt_per_sec_chip_f32": round(utt_f32, 2),
+        "utt_per_sec_chip_bf16": round(utt_bf16, 2),
+        "enhance_batch_ms_f32": round(step_f32 * 1e3, 2),
+        "enhance_batch_ms_bf16": round(step_bf16 * 1e3, 2),
+        "train_step_ms_f32_batch6": round(train_step_s * 1e3, 2),
+        "train_utt_per_sec_f32": round(TRAIN_BATCH / train_step_s, 2),
+        "baseline_note": "vs torch-CPU single-core reference measurement "
+                         "(no published reference hardware numbers exist)",
+        **stft_cmp,
+    }
+    if flops_enh:
+        extra["enhance_model_tflops_per_sec_bf16"] = round(
+            flops_enh / step_bf16 / 1e12, 2
+        )
+    if flops_train:
+        extra["train_model_tflops_per_sec_f32"] = round(
+            flops_train / train_step_s / 1e12, 2
+        )
+    if peak:
+        if flops_enh:
+            extra["mfu_enhance_bf16"] = round(flops_enh / step_bf16 / peak, 4)
+        if flops_train:
+            # f32 matmuls run at half the bf16 MXU peak
+            extra["mfu_train_f32"] = round(
+                flops_train / train_step_s / (peak / 2), 4
+            )
+
     print(
         json.dumps(
             {
-                "metric": "enhance_rtf_3s_batch8",
-                "value": round(rtf, 2),
+                "metric": "enhance_rtf_3s_batch8_bf16",
+                "value": round(rtf_bf16, 2),
                 "unit": "x_realtime",
-                "vs_baseline": round(rtf / REFERENCE_RTF, 2),
+                "vs_baseline": round(rtf_bf16 / REFERENCE_RTF, 2),
+                "extra": extra,
             }
         )
     )

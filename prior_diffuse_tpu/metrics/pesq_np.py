@@ -13,6 +13,16 @@ IRS receive filtering).
 the ITU reference values.  It is therefore OFF by default; enable via
 ``PDT_APPROX_PESQ=1`` or by calling :func:`pesq_approx` explicitly.
 When the real binding exists it always wins (see ``metrics.pesq``).
+
+Validation status (error bar): in this environment the true P.862.2
+binding is absent, so absolute MOS deviation is UNMEASURED — treat
+these scores as *ordinal*.  What is pinned by tests
+(``tests/test_pesq_approx.py``): perfect-copy scores 4.64; strict
+monotonicity with severity under additive noise, lowpass filtering and
+clipping, each spanning >1.5 MOS; gain/shift invariance; and rank
+agreement (Spearman >= 0.9) with the independent in-repo STOI under
+additive noise.  Cross-run comparisons are valid only within the same
+regime — eval logs carry ``pesq_mode`` for exactly this reason.
 """
 
 from __future__ import annotations

@@ -428,11 +428,20 @@ class TimeEmbedding(nn.Module):
     def setup(self):
         import numpy as np
 
-        steps = np.arange(self.max_steps)[:, None]  # [S, 1]
-        dims = np.arange(64)[None, :]  # [1, 64]
-        table = steps * 10.0 ** (dims * 4.0 / 63.0)
+        # Phase arithmetic must be bit-identical to the reference's
+        # torch f32 computation (model/diff3.py:90-95): at phases of
+        # ~5e5 rad a 1-ulp phase difference moves sin() by up to ~0.06.
+        # torch evaluates f32 pow/sin with double-precision internals,
+        # so: exponent in f32, pow in f64 cast back to f32 (== torch
+        # bit-exactly), phase product in f32, sin/cos in f64 of the f32
+        # phase, rounded to f32.
+        steps = np.arange(self.max_steps, dtype=np.float32)[:, None]  # [S, 1]
+        dims = np.arange(64, dtype=np.float32)[None, :]  # [1, 64]
+        exp = dims * np.float32(4.0) / np.float32(63.0)
+        pow_ = np.power(10.0, exp.astype(np.float64)).astype(np.float32)
+        phase = (steps * pow_).astype(np.float64)
         self.table = jnp.asarray(
-            np.concatenate([np.sin(table), np.cos(table)], axis=1),
+            np.concatenate([np.sin(phase), np.cos(phase)], axis=1),
             jnp.float32,
         )  # [S, 128]
         self.proj1 = nn.Dense(512)

@@ -36,6 +36,22 @@ from prior_diffuse_tpu.training.plateau import PlateauController
 from prior_diffuse_tpu.utils.logging import MetricsLogger
 
 
+def group_grad_norms(tree, prefix: str, depth: int = 2):
+    """Per-module-group gradient norms (the reference's ``wandb.watch``
+    analog, trainer/complex_ddpm_trainer.py:100): leaves are grouped by
+    the first ``depth`` path components and reduced to a global norm
+    per group.  Static structure, so it's cheap inside the train-step
+    jit; values are 0-d arrays."""
+    import optax
+    from jax.tree_util import tree_flatten_with_path
+
+    groups = {}
+    for path, leaf in tree_flatten_with_path(tree)[0]:
+        key = "/".join(str(getattr(p, "key", p)) for p in path[:depth])
+        groups.setdefault(key, []).append(leaf)
+    return {f"gn_{prefix}/{k}": optax.global_norm(v) for k, v in groups.items()}
+
+
 def spec_features(wav: jnp.ndarray, cfg) -> jnp.ndarray:
     """waveform [B, L] -> compressed complex spectrum [B, T, F, 2]
     (collate STFT of utils/dataset.py:61-74 + the trainers' compression

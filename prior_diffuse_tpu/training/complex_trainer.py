@@ -20,7 +20,11 @@ import optax
 from prior_diffuse_tpu.config import ExperimentConfig, RunConfig
 from prior_diffuse_tpu.metrics.compare import compare_complex
 from prior_diffuse_tpu.registry import LOSSES, MODELS, TRAINERS
-from prior_diffuse_tpu.training.base import TrainerBase, spec_features
+from prior_diffuse_tpu.training.base import (
+    TrainerBase,
+    group_grad_norms,
+    spec_features,
+)
 from prior_diffuse_tpu.training.optim import get_lr, set_lr, torch_adam
 
 
@@ -99,6 +103,7 @@ class ComplexTrainer(TrainerBase):
         return (
             {"model": {"params": params, "batch_stats": new_stats}, "opt": opt},
             loss,
+            group_grad_norms(grads, "model"),
         )
 
     def _eval_step_impl(self, state, noisy, clean, frame_nums):
@@ -122,8 +127,13 @@ class ComplexTrainer(TrainerBase):
         self.log_eval("test", cv_loss, np.mean(np.asarray(results), axis=0))
         return cv_loss
 
+    grad_log_every = 50
+
     def train(self, max_epochs: Optional[int] = None,
               max_steps: Optional[int] = None):
+        from prior_diffuse_tpu.utils.profiler import StepTimer
+
+        timer = StepTimer()
         n_epochs = max_epochs or self.cfg.n_epochs
         while self.epoch < n_epochs:
             logging.info("Epoch %d", self.epoch)
@@ -133,10 +143,19 @@ class ComplexTrainer(TrainerBase):
                 noisy, clean, frames = self.put_batch(
                     batch.noisy, batch.clean, batch.frame_nums
                 )
-                self.state, loss = self._train_step(self.state, noisy, clean, frames)
+                self.state, loss, gnorms = self._train_step(
+                    self.state, noisy, clean, frames
+                )
                 loss = float(loss)
+                dt = timer.tick()
                 self.check_nan(loss)
-                self.metrics.log({"train_batch_loss": loss}, step=self.step)
+                rec = {"train_batch_loss": loss}
+                if dt is not None:
+                    rec["step_time_ms"] = dt * 1e3
+                    rec["utt_per_sec"] = self.cfg.batch_size / dt
+                if self.step % self.grad_log_every == 0:
+                    rec.update({k: float(v) for k, v in gnorms.items()})
+                self.metrics.log(rec, step=self.step)
                 self.step += 1
             cv_loss = self.evaluate()
             halve, stop, is_best = self.plateau.update(cv_loss)

@@ -41,7 +41,11 @@ from prior_diffuse_tpu.diffusion import (
 from prior_diffuse_tpu.losses import com_mse_loss, com_mse_sigma_loss
 from prior_diffuse_tpu.metrics.compare import compare_complex
 from prior_diffuse_tpu.registry import LOSSES, MODELS, TRAINERS
-from prior_diffuse_tpu.training.base import TrainerBase, spec_features
+from prior_diffuse_tpu.training.base import (
+    TrainerBase,
+    group_grad_norms,
+    spec_features,
+)
 from prior_diffuse_tpu.training.optim import get_lr, set_lr, torch_adam
 
 
@@ -55,6 +59,11 @@ def _mode(diff_cfg) -> str:
 
 @TRAINERS.register("ComplexDDPMTrainer")
 class ComplexDDPMTrainer(TrainerBase):
+    # per-group grad norms go to the JSONL metrics every N steps (the
+    # reference's wandb.watch analog); the norms are computed inside the
+    # train-step jit either way, this only gates host-side logging
+    grad_log_every = 50
+
     def __init__(self, run: RunConfig, exp: ExperimentConfig, mesh=None,
                  metrics_logger=None):
         super().__init__(run, exp, mesh, metrics_logger)
@@ -219,7 +228,11 @@ class ComplexDDPMTrainer(TrainerBase):
             "opt_dis": opt_dis,
             "opt_ddpm": opt_ddpm,
         }
-        return new_state, total, loss_dis, loss_ddpm
+        gnorms = {
+            **group_grad_norms(grads["dis"], "dis"),
+            **group_grad_norms(grads["ddpm"], "ddpm"),
+        }
+        return new_state, total, loss_dis, loss_ddpm, gnorms
 
     def _eval_step_impl(self, state, noisy, clean, frame_nums, rng,
                         *, sigma: bool):
@@ -275,6 +288,9 @@ class ComplexDDPMTrainer(TrainerBase):
         if self.run.draw:  # draw-from-checkpoint mode (main loop skipped)
             self.draw_audio()
             return
+        from prior_diffuse_tpu.utils.profiler import StepTimer
+
+        timer = StepTimer()
         n_epochs = max_epochs or self.cfg.n_epochs
         while self.epoch < n_epochs:
             logging.info("Epoch %d", self.epoch)
@@ -286,16 +302,20 @@ class ComplexDDPMTrainer(TrainerBase):
                     noisy, clean, frames = self.put_batch(
                         batch.noisy, batch.clean, batch.frame_nums
                     )
-                    self.state, total, l_dis, l_ddpm = self._train_step(
+                    self.state, total, l_dis, l_ddpm, gnorms = self._train_step(
                         self.state, noisy, clean, frames, step_rng
                     )
-                    total = float(total)
+                    total = float(total)  # scalar readback: step is complete
+                    dt = timer.tick()
                     self.check_nan(total)
-                    self.metrics.log(
-                        {"dis_loss": float(l_dis), "ddpm_loss": float(l_ddpm),
-                         "loss_sum": total},
-                        step=self.step,
-                    )
+                    rec = {"dis_loss": float(l_dis), "ddpm_loss": float(l_ddpm),
+                           "loss_sum": total}
+                    if dt is not None:
+                        rec["step_time_ms"] = dt * 1e3
+                        rec["utt_per_sec"] = self.cfg.batch_size / dt
+                    if self.step % self.grad_log_every == 0:
+                        rec.update({k: float(v) for k, v in gnorms.items()})
+                    self.metrics.log(rec, step=self.step)
                     self.step += 1
             cv_loss = self.evaluate()
             if self.run.eval:

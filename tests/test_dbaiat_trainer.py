@@ -31,5 +31,5 @@ def test_dbaiat_complex_trainer_step(tmp_path):
     batch = next(iter(tr.tr_loader))
     noisy, clean, frames = tr.put_batch(batch.noisy, batch.clean,
                                         batch.frame_nums)
-    tr.state, loss = tr._train_step(tr.state, noisy, clean, frames)
+    tr.state, loss, _ = tr._train_step(tr.state, noisy, clean, frames)
     assert np.isfinite(float(loss))

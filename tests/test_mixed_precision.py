@@ -70,7 +70,7 @@ def test_mixed_precision_training_reduces_loss(tmp_path):
     key = jax.random.PRNGKey(0)
     for i in range(6):
         key, k = jax.random.split(key)
-        tr.state, total, l_dis, l_ddpm = tr._train_step(
+        tr.state, total, l_dis, l_ddpm, _ = tr._train_step(
             tr.state, noisy, clean, frames, k
         )
         losses.append(float(l_dis))

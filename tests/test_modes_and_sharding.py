@@ -44,7 +44,7 @@ def _one_step(tmp_path, corpus, exp, **flags):
     batch = next(iter(tr.tr_loader))
     noisy, clean, frames = tr.put_batch(batch.noisy, batch.clean,
                                         batch.frame_nums)
-    tr.state, total, l_dis, l_ddpm = tr._train_step(
+    tr.state, total, l_dis, l_ddpm, _ = tr._train_step(
         tr.state, noisy, clean, frames, jax.random.PRNGKey(0)
     )
     return tr, float(total), float(l_dis), float(l_ddpm)
@@ -74,7 +74,7 @@ def test_non_joint_freezes_dis(tmp_path, corpus):
     batch = next(iter(tr.tr_loader))
     noisy, clean, frames = tr.put_batch(batch.noisy, batch.clean,
                                         batch.frame_nums)
-    tr.state, total, l_dis, l_ddpm = tr._train_step(
+    tr.state, total, l_dis, l_ddpm, _ = tr._train_step(
         tr.state, noisy, clean, frames, jax.random.PRNGKey(0)
     )
     after = jax.tree.leaves(tr.state["dis"]["params"])
@@ -83,6 +83,98 @@ def test_non_joint_freezes_dis(tmp_path, corpus):
     # DDPM params did move
     # (compare one leaf before/after requires a second step; just check loss)
     assert np.isfinite(float(l_ddpm)) and float(l_ddpm) > 0.0
+
+
+def test_evaluate_on_8_device_mesh_ragged_batch(tmp_path, corpus):
+    """Full evaluate() (scan sampler + compare_complex scoring) on the
+    8-device mesh with a ragged batch: 2 eval utterances pad to 8 rows
+    in put_batch; pad rows must not contaminate loss or metrics."""
+    from prior_diffuse_tpu.parallel import make_mesh
+    from prior_diffuse_tpu.training import ComplexDDPMTrainer
+
+    mesh = make_mesh(dp=8)
+    run = RunConfig(assets=str(tmp_path / "ev"), doc="m", data_root=corpus,
+                    joint=True)
+    tr = ComplexDDPMTrainer(run, _exp(), mesh=mesh)
+    # the cv loader yields one batch of 2 -> put_batch pads to 8
+    batch = next(iter(tr.cv_loader))
+    assert batch.noisy.shape[0] == 2
+    noisy, clean, frames = tr.put_batch(batch.noisy, batch.clean,
+                                        batch.frame_nums)
+    assert noisy.shape[0] == 8 and len(noisy.sharding.device_set) == 8
+    cv = tr.evaluate()
+    assert np.isfinite(cv)
+    # pad-row isolation: garbage in the 6 pad rows (frame_num 0) must
+    # change neither the masked loss nor the real rows' sampled audio
+    rng = jax.random.PRNGKey(99)
+    audio_z, label_z, loss_z = tr._eval_step(tr.state, noisy, clean, frames,
+                                             rng)
+    garbage = np.asarray(noisy).copy()
+    garbage[2:] = 3.7
+    noisy_g, = tr.put_batch(garbage)
+    audio_g, _, loss_g = tr._eval_step(tr.state, noisy_g, clean, frames, rng)
+    assert float(loss_z) == pytest.approx(float(loss_g), rel=1e-6)
+    np.testing.assert_allclose(np.asarray(audio_z)[:2], np.asarray(audio_g)[:2],
+                               atol=1e-5)
+    # metric scoring covers exactly the 2 real utterances
+    from prior_diffuse_tpu.metrics.compare import spec_batch_to_wavs
+
+    wavs = spec_batch_to_wavs(audio_z, batch.frame_nums, tr.cfg.feat_type)
+    assert len(wavs) == 2
+
+
+def test_checkpoint_roundtrip_sharded_state(tmp_path, corpus):
+    """Save -> restore of mesh-sharded training state resumes
+    bit-identically: the restored trainer's next step equals the
+    original's next step exactly."""
+    from prior_diffuse_tpu.parallel import make_mesh
+    from prior_diffuse_tpu.training import ComplexDDPMTrainer
+
+    mesh = make_mesh(dp=8)
+    run = RunConfig(assets=str(tmp_path / "ck"), doc="m", data_root=corpus,
+                    joint=True)
+    tr = ComplexDDPMTrainer(run, _exp(), mesh=mesh)
+    batch = next(iter(tr.tr_loader))
+    noisy, clean, frames = tr.put_batch(batch.noisy, batch.clean,
+                                        batch.frame_nums)
+    tr.state, *_ = tr._train_step(tr.state, noisy, clean, frames,
+                                  jax.random.PRNGKey(0))
+    tr.step = 1
+    tr.ckpt.save_best(tr.ckpt_payload())
+
+    run2 = RunConfig(assets=str(tmp_path / "ck"), doc="m", data_root=corpus,
+                     joint=True)
+    tr2 = ComplexDDPMTrainer(run2, _exp(), mesh=mesh)
+    assert tr2.load_best()
+    assert tr2.step == 1
+    a = jax.tree.leaves(tr.state)
+    b = jax.tree.leaves(tr2.state)
+    assert all(np.array_equal(np.asarray(x), np.asarray(y))
+               for x, y in zip(a, b))
+    # one more identical step from each stays bit-identical
+    _, t1, *_ = tr._train_step(tr.state, noisy, clean, frames,
+                               jax.random.PRNGKey(1))
+    _, t2, *_ = tr2._train_step(tr2.state, noisy, clean, frames,
+                                jax.random.PRNGKey(1))
+    assert float(t1) == float(t2)
+
+
+def test_dataset_shard_disjoint_cover(corpus):
+    """PairedWavDataset(shard=) gives each host a disjoint slice whose
+    union is the full corpus (multi-host data parallelism)."""
+    from prior_diffuse_tpu.data import PairedWavDataset
+
+    full = PairedWavDataset(f"{corpus}/noisy_trainset_wav",
+                            f"{corpus}/clean_trainset_wav")
+    shards = [
+        PairedWavDataset(f"{corpus}/noisy_trainset_wav",
+                         f"{corpus}/clean_trainset_wav", shard=(i, 2))
+        for i in range(2)
+    ]
+    names = [set(s.names) for s in shards]
+    assert names[0] & names[1] == set()
+    assert names[0] | names[1] == set(full.names)
+    assert abs(len(names[0]) - len(names[1])) <= 1
 
 
 def test_train_step_shards_over_8_devices(tmp_path, corpus):
@@ -106,7 +198,7 @@ def test_train_step_shards_over_8_devices(tmp_path, corpus):
                                         batch.frame_nums)
     assert noisy.shape[0] == 8
     assert len(noisy.sharding.device_set) == 8
-    tr.state, total, l_dis, l_ddpm = tr._train_step(
+    tr.state, total, l_dis, l_ddpm, _ = tr._train_step(
         tr.state, noisy, clean, frames, jax.random.PRNGKey(0)
     )
     assert np.isfinite(float(total))

@@ -40,6 +40,81 @@ def test_alignment_tolerates_shift():
     assert b == pytest.approx(a, abs=0.5)
 
 
+def _broadband_ref(n=48000, seed=7):
+    """Harmonic chirps + modulated broadband noise: a reference with
+    energy across the band so filtering degradations register."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / 16000.0
+    f0 = 120 + 60 * np.sin(2 * np.pi * 0.7 * t)
+    sig = sum(
+        np.sin(2 * np.pi * np.cumsum(f0 * k) / 16000.0) / k
+        for k in range(1, 40)
+    )
+    sig += 0.3 * rng.standard_normal(n) * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t))
+    env = 0.2 + 0.8 * (np.sin(2 * np.pi * 1.5 * t) > -0.3)
+    return (sig * env).astype(np.float64)
+
+
+def _spearman(a, b):
+    ra = np.argsort(np.argsort(a)).astype(float)
+    rb = np.argsort(np.argsort(b)).astype(float)
+    return float(np.corrcoef(ra, rb)[0, 1])
+
+
+def test_degradation_battery_monotone():
+    """Validation battery (round-1 verdict item 3b): additive noise,
+    lowpass filtering, and clipping must each yield strictly decreasing
+    scores with increasing severity, spanning a wide MOS range."""
+    from scipy.signal import butter, lfilter
+
+    rng = np.random.default_rng(7)
+    _, speechish = synthetic.make_utterance(rng, 48000, snr_db=5.0)
+    speechish = speechish.astype(np.float64)
+    broadband = _broadband_ref()
+
+    noise_scores = []
+    for snr in (30, 20, 10, 0, -5):
+        noise = rng.standard_normal(len(speechish))
+        noise *= np.sqrt(np.mean(speechish**2) / np.mean(noise**2)) * 10 ** (-snr / 20)
+        noise_scores.append(pesq_approx(speechish, speechish + noise))
+
+    lp_scores = []
+    for cutoff in (6000, 4000, 2000, 1000, 500):
+        b, a = butter(4, cutoff / 8000.0)
+        lp_scores.append(pesq_approx(broadband, lfilter(b, a, broadband)))
+
+    peak = np.max(np.abs(speechish))
+    clip_scores = []
+    for frac in (0.7, 0.4, 0.2, 0.1, 0.05):
+        clip_scores.append(
+            pesq_approx(speechish, np.clip(speechish, -frac * peak, frac * peak))
+        )
+
+    for name, scores in [("noise", noise_scores), ("lowpass", lp_scores),
+                         ("clip", clip_scores)]:
+        assert all(x > y for x, y in zip(scores, scores[1:])), (name, scores)
+        assert scores[0] - scores[-1] > 1.5, (name, scores)  # wide dynamic range
+
+
+def test_rank_correlation_with_stoi_under_noise():
+    """Under additive noise (where quality and intelligibility co-vary)
+    the approximation's ranking must agree with the independent in-repo
+    STOI implementation."""
+    from prior_diffuse_tpu.metrics.stoi import stoi
+
+    rng = np.random.default_rng(11)
+    _, clean = synthetic.make_utterance(rng, 48000, snr_db=5.0)
+    clean = clean.astype(np.float64)
+    p_scores, s_scores = [], []
+    for snr in (25, 15, 8, 3, -2, -8):
+        noise = rng.standard_normal(len(clean))
+        noise *= np.sqrt(np.mean(clean**2) / np.mean(noise**2)) * 10 ** (-snr / 20)
+        deg = clean + noise
+        p_scores.append(pesq_approx(clean, deg))
+        s_scores.append(stoi(clean, deg, 16000))
+    assert _spearman(p_scores, s_scores) >= 0.9, (p_scores, s_scores)
+
+
 def test_env_gate(monkeypatch):
     from prior_diffuse_tpu.metrics import pesq as pq
 

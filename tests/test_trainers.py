@@ -146,7 +146,7 @@ def test_training_reduces_loss(tmp_path, corpus):
     rng = jax.random.PRNGKey(0)
     for i in range(8):
         rng, k = jax.random.split(rng)
-        tr.state, total, l_dis, l_ddpm = tr._train_step(
+        tr.state, total, l_dis, l_ddpm, _ = tr._train_step(
             tr.state, noisy, clean, frames, k
         )
         losses.append(float(l_dis))
