@@ -178,28 +178,45 @@ def bench_train_step(jax, jnp, tmpdir):
 
 
 def bench_stft_paths(jax, jnp):
-    """Pallas vs XLA STFT+ISTFT round-trip on [8, 48000]."""
-    from prior_diffuse_tpu.signal.stft import istft, stft
+    """Pallas vs XLA STFT+ISTFT round-trip on [8, 48000] (explicit
+    implementations — the public stft() auto-dispatches)."""
+    from prior_diffuse_tpu.signal.stft import istft_xla, stft_xla
 
     wav = jax.random.normal(jax.random.PRNGKey(1), (BATCH, CHUNK)) * 0.1
 
     @jax.jit
     def xla_rt(w):
-        return istft(stft(w), length=w.shape[-1])
+        return istft_xla(stft_xla(w), length=w.shape[-1])
 
     result = {}
     y_x = xla_rt(wav)
     float(jnp.sum(y_x))
 
-    def chain(fn, n):
-        t0 = time.time()
-        w = wav
-        for _ in range(n):
-            w = fn(w)
-        float(jnp.sum(w))
-        return time.time() - t0
+    # sub-ms ops: host-chained slopes are dispatch noise, so loop the
+    # round-trip INSIDE one jit and slope over the iteration count
+    def micro_slope(body, k1=8, k2=64):
+        def make(k):
+            @jax.jit
+            def run(w):
+                return jax.lax.fori_loop(0, k, lambda i, x: body(x), w)
+            return run
 
-    result["stft_xla_ms"] = round(_slope(lambda n: chain(xla_rt, n)) * 1e3, 3)
+        r1, r2 = make(k1), make(k2)
+        float(jnp.sum(r1(wav)))
+        float(jnp.sum(r2(wav)))
+
+        def t(run):
+            t0 = time.time()
+            float(jnp.sum(run(wav)))
+            return time.time() - t0
+
+        vals = [(t(r2) - t(r1)) / (k2 - k1) for _ in range(5)]
+        return statistics.median(vals)
+
+    result["stft_xla_ms"] = round(
+        micro_slope(lambda w: istft_xla(stft_xla(w), length=w.shape[-1])) * 1e3,
+        3,
+    )
 
     try:
         from prior_diffuse_tpu.ops.pallas import istft_pallas, stft_pallas
@@ -211,7 +228,10 @@ def bench_stft_paths(jax, jnp):
         y_p = pallas_rt(wav)
         err = float(jnp.max(jnp.abs(y_p - y_x)))
         result["stft_pallas_ms"] = round(
-            _slope(lambda n: chain(pallas_rt, n)) * 1e3, 3
+            micro_slope(
+                lambda w: istft_pallas(stft_pallas(w), length=w.shape[-1])
+            ) * 1e3,
+            3,
         )
         result["stft_pallas_vs_xla_maxerr"] = err
     except Exception as e:  # Mosaic compile failure stays visible

@@ -20,6 +20,7 @@ Design notes (TPU-first):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -27,6 +28,40 @@ import jax.numpy as jnp
 import numpy as np
 
 _HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _pallas_eligible(ndim, fft_num, win_size, win_shift, window, dtype):
+    """Opt-in routing to the fused Pallas kernels (``PDT_PALLAS=1``).
+
+    Default is the XLA framed-matmul, on evidence (one v5e chip,
+    batch 8 x 48k, numerics agree to 1.5e-7):
+
+    * **inside a jit** (the production position — the STFT is always
+      embedded in the enhance/train jits) XLA wins ~5x: 0.054 ms vs
+      0.266 ms per STFT+ISTFT round-trip, measured as a fori_loop
+      iteration-count slope.  XLA's single [B*T, 320]x[320, 322]
+      contraction tiles the MXU perfectly, while the kernels' 8-frame
+      serial tiles under-fill the 128-wide systolic array;
+    * as a *standalone dispatched op* the Pallas call is ~4x faster
+      (0.45 vs 1.96 ms) because one custom call beats the XLA path's
+      many-op dispatch overhead on this PJRT — irrelevant in
+      production, where dispatch is amortized by the surrounding jit.
+
+    ``bench.py`` re-measures both paths every run
+    (``stft_xla_ms``/``stft_pallas_ms``).  Pallas is also restricted to
+    single-device computations (no GSPMD partitioning rule for the
+    custom call) and the reference 320/160 geometry.
+    """
+    if os.environ.get("PDT_PALLAS", "0") != "1":
+        return False
+    if not (win_size == fft_num == 2 * win_shift and window is None):
+        return False
+    if ndim != 2 or dtype != jnp.float32:
+        return False
+    try:
+        return jax.default_backend() != "cpu" and jax.device_count() == 1
+    except Exception:  # backend not initializable yet
+        return False
 
 
 def hann_window(win_size: int = 320, dtype=np.float32) -> np.ndarray:
@@ -119,6 +154,22 @@ def stft(
     output permuted from ``[F, T]`` to ``[T, F]``.
     """
     assert fft_num == win_size, "win < fft would need additional zero-pad"
+    if _pallas_eligible(x.ndim, fft_num, win_size, win_shift, window, x.dtype):
+        from prior_diffuse_tpu.ops.pallas import stft_pallas
+
+        return stft_pallas(x, fft_num, win_shift)
+    return stft_xla(x, fft_num, win_size, win_shift, window, precision)
+
+
+def stft_xla(
+    x: jnp.ndarray,
+    fft_num: int = 320,
+    win_size: int = 320,
+    win_shift: int = 160,
+    window: Optional[jnp.ndarray] = None,
+    precision=_HIGHEST,
+) -> jnp.ndarray:
+    """The XLA framed-matmul STFT (bypasses the Pallas dispatch)."""
     if window is None:
         window = jnp.asarray(hann_window(win_size))
     frames = _frame_centered(x, win_size, win_shift) * window
@@ -148,6 +199,27 @@ def istft(
     (relied on for metric parity, ``utils/metrics.py:557-563``).
     """
     assert win_size == 2 * win_shift and fft_num == win_size
+    if _pallas_eligible(spec.ndim - 2, fft_num, win_size, win_shift, window,
+                        spec.dtype):
+        from prior_diffuse_tpu.ops.pallas import istft_pallas
+
+        out_len = (length if length is not None
+                   else (spec.shape[-3] - 1) * win_shift)
+        return istft_pallas(spec, out_len, fft_num, win_shift)
+    return istft_xla(spec, length, fft_num, win_size, win_shift, window,
+                     precision)
+
+
+def istft_xla(
+    spec: jnp.ndarray,
+    length: Optional[int] = None,
+    fft_num: int = 320,
+    win_size: int = 320,
+    win_shift: int = 160,
+    window: Optional[jnp.ndarray] = None,
+    precision=_HIGHEST,
+) -> jnp.ndarray:
+    """The XLA framed-matmul ISTFT (bypasses the Pallas dispatch)."""
     if window is None:
         window = jnp.asarray(hann_window(win_size))
     *batch, num_frames, freq, _ = spec.shape
