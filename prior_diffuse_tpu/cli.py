@@ -42,12 +42,15 @@ def parse_args(argv=None) -> RunConfig:
     p.add_argument("--draw", action="store_true", help="Eval/plot from best checkpoint")
     p.add_argument("--wandb", action="store_true",
                    help="Mirror metrics to wandb (optional dependency)")
+    p.add_argument("--profile-steps", type=int, default=0,
+                   help="Capture a jax.profiler trace of the first N "
+                        "train steps into <log_dir>/trace")
     a = p.parse_args(argv)
     run = RunConfig(
         seed=a.seed, trainer=a.trainer, config=a.config, doc=a.doc,
         assets=a.assets, generate=a.generate, retrain=a.retrain,
         joint=a.joint, eval=a.eval, sigma=a.sigma, noisy=a.noisy,
-        draw=a.draw, data_root=a.data_root,
+        draw=a.draw, profile_steps=a.profile_steps, data_root=a.data_root,
     )
     setup_logging(run.log_dir, a.verbose)
     return run, a.wandb

@@ -123,6 +123,10 @@ class RunConfig:
     sigma: bool = False
     noisy: bool = False
     draw: bool = False
+    # capture a jax.profiler trace of the first N train steps into
+    # <log_dir>/trace (0 = off); TPU-native observability beyond the
+    # reference's wandb dashboards
+    profile_steps: int = 0
     # paths derived as in main.py:37-40
     data_root: str = "data"
 

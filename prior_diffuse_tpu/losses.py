@@ -95,16 +95,20 @@ def pesq_loss(esti, label, frame_nums, feat_type: str = "sqrt") -> float:
 
     Host-side and non-differentiable, exactly like the reference (whose
     version runs under ``no_grad``): de-compress, ISTFT, trim to
-    ``(frames-1)*hop``, score wideband PESQ per utterance.  Requires the
-    optional ``pesq`` binding; raises if unavailable.
+    ``(frames-1)*hop``, score wideband PESQ per utterance.  Runs in any
+    available PESQ regime (real binding, or the labeled approximation
+    via ``PDT_APPROX_PESQ=1``); raises when no backend exists.
     """
     import numpy as np
 
     from prior_diffuse_tpu.metrics.compare import spec_batch_to_wavs
-    from prior_diffuse_tpu.metrics.pesq import HAVE_PESQ, pesq_score
+    from prior_diffuse_tpu.metrics.pesq import pesq_mode, pesq_score
 
-    if not HAVE_PESQ:
-        raise ImportError("pesq_loss requires the optional `pesq` package")
+    if pesq_mode() == "absent":
+        raise ImportError(
+            "pesq_loss requires a PESQ backend (the optional `pesq` "
+            "package, or PDT_APPROX_PESQ=1 for the labeled approximation)"
+        )
     esti_wavs = spec_batch_to_wavs(esti, list(np.asarray(frame_nums)), feat_type)
     label_wavs = spec_batch_to_wavs(label, list(np.asarray(frame_nums)), feat_type)
     scores = []

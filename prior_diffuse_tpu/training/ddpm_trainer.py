@@ -288,50 +288,68 @@ class ComplexDDPMTrainer(TrainerBase):
         if self.run.draw:  # draw-from-checkpoint mode (main loop skipped)
             self.draw_audio()
             return
-        from prior_diffuse_tpu.utils.profiler import StepTimer
+        import os
+
+        from prior_diffuse_tpu.utils.profiler import StepTimer, trace
 
         timer = StepTimer()
+        profiling = None
+        if self.run.profile_steps and self.step < self.run.profile_steps:
+            profiling = trace(os.path.join(self.run.log_dir, "trace"))
+            profiling.__enter__()
         n_epochs = max_epochs or self.cfg.n_epochs
-        while self.epoch < n_epochs:
-            logging.info("Epoch %d", self.epoch)
-            if not self.run.eval:
-                for batch in self.tr_loader:
-                    if max_steps is not None and self.step >= max_steps:
-                        return
-                    self.rng, step_rng = jax.random.split(self.rng)
-                    noisy, clean, frames = self.put_batch(
-                        batch.noisy, batch.clean, batch.frame_nums
-                    )
-                    self.state, total, l_dis, l_ddpm, gnorms = self._train_step(
-                        self.state, noisy, clean, frames, step_rng
-                    )
-                    total = float(total)  # scalar readback: step is complete
-                    dt = timer.tick()
-                    self.check_nan(total)
-                    rec = {"dis_loss": float(l_dis), "ddpm_loss": float(l_ddpm),
-                           "loss_sum": total}
-                    if dt is not None:
-                        rec["step_time_ms"] = dt * 1e3
-                        rec["utt_per_sec"] = self.cfg.batch_size / dt
-                    if self.step % self.grad_log_every == 0:
-                        rec.update({k: float(v) for k, v in gnorms.items()})
-                    self.metrics.log(rec, step=self.step)
-                    self.step += 1
-            cv_loss = self.evaluate()
-            if self.run.eval:
-                return
-            halve, stop, is_best = self.plateau.update(cv_loss)
-            if halve:
-                self._halve_lrs()
-            payload = self.ckpt_payload()
-            if is_best:
-                logging.info("new best cv loss %.5f; saving best", cv_loss)
-                self.ckpt.save_best(payload)
-            self.ckpt.save_epoch(self.epoch, payload)
-            self.epoch += 1
-            if stop:
-                logging.info("No improvement and apply early stop")
-                break
+        try:
+            while self.epoch < n_epochs:
+                logging.info("Epoch %d", self.epoch)
+                if not self.run.eval:
+                    for batch in self.tr_loader:
+                        if max_steps is not None and self.step >= max_steps:
+                            return
+                        self.rng, step_rng = jax.random.split(self.rng)
+                        noisy, clean, frames = self.put_batch(
+                            batch.noisy, batch.clean, batch.frame_nums
+                        )
+                        self.state, total, l_dis, l_ddpm, gnorms = (
+                            self._train_step(
+                                self.state, noisy, clean, frames, step_rng
+                            )
+                        )
+                        total = float(total)  # scalar readback: step complete
+                        dt = timer.tick()
+                        self.check_nan(total)
+                        rec = {"dis_loss": float(l_dis),
+                               "ddpm_loss": float(l_ddpm),
+                               "loss_sum": total}
+                        if dt is not None:
+                            rec["step_time_ms"] = dt * 1e3
+                            rec["utt_per_sec"] = self.cfg.batch_size / dt
+                        if self.step % self.grad_log_every == 0:
+                            rec.update(
+                                {k: float(v) for k, v in gnorms.items()}
+                            )
+                        self.metrics.log(rec, step=self.step)
+                        self.step += 1
+                        if profiling and self.step >= self.run.profile_steps:
+                            profiling.__exit__(None, None, None)
+                            profiling = None
+                cv_loss = self.evaluate()
+                if self.run.eval:
+                    return
+                halve, stop, is_best = self.plateau.update(cv_loss)
+                if halve:
+                    self._halve_lrs()
+                payload = self.ckpt_payload()
+                if is_best:
+                    logging.info("new best cv loss %.5f; saving best", cv_loss)
+                    self.ckpt.save_best(payload)
+                self.ckpt.save_epoch(self.epoch, payload)
+                self.epoch += 1
+                if stop:
+                    logging.info("No improvement and apply early stop")
+                    break
+        finally:
+            if profiling:
+                profiling.__exit__(None, None, None)
 
     # parity alias: the reference dispatches train_ddpm from main
     train = train_ddpm

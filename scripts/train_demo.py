@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--batch", type=int, default=6)
     ap.add_argument("--report", default="docs/demo_speechlike.md")
     ap.add_argument("--ckpt-every", type=int, default=500)
+    ap.add_argument("--n-train", type=int, default=48)
+    ap.add_argument("--snr-lo", type=float, default=0.0)
+    ap.add_argument("--snr-hi", type=float, default=15.0)
     args = ap.parse_args()
 
     import jax
@@ -54,8 +57,10 @@ def main():
     corpus = os.path.join(args.assets, "data")
     if not os.path.isdir(os.path.join(corpus, "noisy_trainset_wav")):
         print("writing speech-like corpus ...", flush=True)
-        synthetic.write_corpus_speechlike(corpus, n_train=48, n_test=8,
-                                          seed=7)
+        synthetic.write_corpus_speechlike(
+            corpus, n_train=args.n_train, n_test=8,
+            snr_range=(args.snr_lo, args.snr_hi), seed=7,
+        )
 
     exp = ExperimentConfig(
         train=TrainConfig(batch_size=args.batch, n_epochs=1,
@@ -94,8 +99,12 @@ def main():
             tr.metrics.log(rec, step=tr.step)
             tr.step += 1
             if tr.step % args.ckpt_every == 0:
-                tr.ckpt.save_best(tr.ckpt_payload())
+                payload = tr.ckpt_payload()
+                tr.ckpt.save_best(payload)
+                tr.ckpt.save_epoch(tr.epoch, payload)  # resumable (--retrain)
+                tr.epoch += 1
     tr.ckpt.save_best(tr.ckpt_payload())
+    tr.ckpt.save_epoch(tr.epoch, tr.ckpt_payload())
     print(f"trained to step {tr.step} in {time.time() - t0:.0f}s", flush=True)
 
     # --- score: noisy floor vs enhanced, all six metrics
@@ -112,8 +121,9 @@ def main():
     os.makedirs(os.path.dirname(args.report), exist_ok=True)
     with open(args.report, "w") as f:
         f.write("# Speech-like convergence demo\n\n")
-        f.write(f"Corpus: 48 train / 8 test speech-like utterances "
-                f"(`make_speechlike`), SNR 0-15 dB.\n"
+        f.write(f"Corpus: {args.n_train} train / 8 test speech-like "
+                f"utterances (`make_speechlike`), SNR {args.snr_lo:g} to "
+                f"{args.snr_hi:g} dB.\n"
                 f"Model: joint DiffUNet + DiffUNet1, batch {args.batch}, "
                 f"{tr.step} steps.\n\n")
         f.write(f"**PESQ regime: `{mode}`** — CSIG/CBAK/COVL inherit this "

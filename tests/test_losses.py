@@ -119,3 +119,29 @@ def test_losses_registered():
         "com_mag_mse_loss",
     ]:
         assert name in LOSSES
+
+
+def test_pesq_loss_runs_in_approx_regime(monkeypatch):
+    """pesq_loss (utils/loss.py:74-113 analog) is runnable in the
+    labeled approximation regime and errors clearly when no PESQ
+    backend exists at all."""
+    import numpy as np
+
+    from prior_diffuse_tpu.data import synthetic
+    from prior_diffuse_tpu.metrics import pesq as pq
+    from prior_diffuse_tpu.signal.compress import compress_spec
+    from prior_diffuse_tpu.signal.stft import stft
+
+    rng = np.random.default_rng(5)
+    noisy, clean = synthetic.make_utterance(rng, 16000, snr_db=5.0)
+    esti = compress_spec(stft(jnp.asarray(noisy[None])), "sqrt")
+    label = compress_spec(stft(jnp.asarray(clean[None])), "sqrt")
+    frames = np.asarray([esti.shape[1]], np.int32)
+
+    if not pq.HAVE_PESQ:
+        monkeypatch.delenv("PDT_APPROX_PESQ", raising=False)
+        with pytest.raises(ImportError):
+            L.pesq_loss(esti, label, frames)
+        monkeypatch.setenv("PDT_APPROX_PESQ", "1")
+    val = L.pesq_loss(esti, label, frames)
+    assert 0.0 <= val <= 3.5  # 4.5 - MOS in [1, 4.64]
