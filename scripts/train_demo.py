@@ -107,7 +107,7 @@ def main():
     tr.ckpt.save_epoch(tr.epoch, tr.ckpt_payload())
     print(f"trained to step {tr.step} in {time.time() - t0:.0f}s", flush=True)
 
-    # --- score: noisy floor vs enhanced, all six metrics
+    # --- score: noisy floor vs enhanced (full chain) vs prior-only
     clean_dir = os.path.join(corpus, "clean_testset_wav")
     noisy_dir = os.path.join(corpus, "noisy_testset_wav")
     out_dir = os.path.join(args.assets, "enhanced")
@@ -115,6 +115,40 @@ def main():
                     out_dir=out_dir)
     floor = np.mean(np.asarray(compare(clean_dir, noisy_dir)), axis=0)
     enh = np.mean(np.asarray(compare(clean_dir, out_dir)), axis=0)
+
+    # diagnostic: the discriminative prior alone (x_init, no DDPM
+    # residual) — separates prior quality from residual-DDPM maturity
+    import glob as _glob
+
+    import jax.numpy as jnp  # noqa: F401
+
+    from prior_diffuse_tpu.data.wavio import read_wav, write_wav
+    from prior_diffuse_tpu.serving.enhance import enhance_files
+    from prior_diffuse_tpu.signal.compress import decompress_spec
+    from prior_diffuse_tpu.signal.stft import istft
+    from prior_diffuse_tpu.training.base import spec_features
+
+    @jax.jit
+    def _dis_impl(state, wav):
+        feat = spec_features(wav, tr.cfg)
+        x_init, _ = tr._dis_apply(state["dis"], feat, train=False)
+        return istft(decompress_spec(x_init, tr.cfg.feat_type),
+                     length=wav.shape[-1])
+
+    class _DisOnly:
+        cfg = tr.cfg
+
+        def enhance_batch(self, wav_batch, rng):
+            return _dis_impl(tr.state, tr.put_batch(wav_batch)[0])
+
+    paths = sorted(_glob.glob(os.path.join(noisy_dir, "*.wav")))
+    wavs = [read_wav(p, 16000)[0] for p in paths]
+    outs = enhance_files(_DisOnly(), wavs, jax.random.PRNGKey(0))
+    dis_dir = os.path.join(args.assets, "prior_only")
+    os.makedirs(dis_dir, exist_ok=True)
+    for p, w in zip(paths, outs):
+        write_wav(os.path.join(dis_dir, os.path.basename(p)), w, 16000)
+    dis_res = np.mean(np.asarray(compare(clean_dir, dis_dir)), axis=0)
 
     names = ["CSIG", "CBAK", "COVL", "PESQ", "SSNR", "STOI"]
     mode = pesq_mode()
@@ -128,13 +162,20 @@ def main():
                 f"{tr.step} steps.\n\n")
         f.write(f"**PESQ regime: `{mode}`** — CSIG/CBAK/COVL inherit this "
                 f"regime; values are comparable only within it.\n\n")
-        f.write("| metric | noisy floor | enhanced | delta |\n")
-        f.write("|---|---|---|---|\n")
-        for n, fl, en in zip(names, floor, enh):
-            f.write(f"| {n} | {fl:.3f} | {en:.3f} | {en - fl:+.3f} |\n")
+        f.write("| metric | noisy floor | prior only | full chain | "
+                "delta (chain - floor) |\n")
+        f.write("|---|---|---|---|---|\n")
+        for n, fl, dr, en in zip(names, floor, dis_res, enh):
+            f.write(f"| {n} | {fl:.3f} | {dr:.3f} | {en:.3f} | "
+                    f"{en - fl:+.3f} |\n")
+        f.write("\nThe prior-only column isolates the discriminative "
+                "stage; the residual DDPM's contribution matures much "
+                "later in training (the reference trains ~100k steps on "
+                "11,572 real utterances).\n")
     print(json.dumps({
         "step": tr.step, "pesq_mode": mode,
         "floor": dict(zip(names, [round(float(x), 3) for x in floor])),
+        "prior_only": dict(zip(names, [round(float(x), 3) for x in dis_res])),
         "enhanced": dict(zip(names, [round(float(x), 3) for x in enh])),
     }), flush=True)
     print(f"report -> {args.report}", flush=True)
