@@ -198,6 +198,26 @@ def test_enhance_serves_current_weights(tmp_path, corpus, serve_dtype):
                                err_msg="enhance after load_best ignored restore")
 
 
+def test_profile_steps_captures_trace(tmp_path, corpus):
+    """--profile-steps wires utils.profiler.trace into the train loop:
+    a trace directory with profiler artifacts appears and the context
+    is closed even when max_steps exits the loop early."""
+    exp = ExperimentConfig(
+        train=_tiny_train(),
+        model=ModelConfig("DiffUNet"),
+        optim_ddpm=OptimConfig(lr=2e-4),
+    )
+    run = _run(tmp_path, corpus, joint=True, profile_steps=1)
+    from prior_diffuse_tpu.training import ComplexDDPMTrainer
+
+    tr = ComplexDDPMTrainer(run, exp)
+    tr.train_ddpm(max_epochs=1, max_steps=1)
+    trace_dir = os.path.join(run.log_dir, "trace")
+    assert os.path.isdir(trace_dir)
+    found = [f for _, _, fs in os.walk(trace_dir) for f in fs]
+    assert found, "no profiler artifacts written"
+
+
 def test_draw_audio_writes_figures(tmp_path, corpus):
     exp = ExperimentConfig(
         train=_tiny_train(),
