@@ -24,12 +24,41 @@ import numpy as np
 from prior_diffuse_tpu.data.wavio import read_wav, write_wav
 
 
+# Every enhance jit shape is (rows, pad) — each new one is an XLA
+# compile, which on this stack can cost minutes.  Two ladders bound the
+# count: row counts round up to powers of two (<= batch_size) and pad
+# lengths climb a geometric x1.5 ladder of bucket_samples multiples, so
+# a directory of N mixed-length files compiles O(log batch + log maxlen)
+# shapes instead of O(N).
+_seen_shapes: set = set()
+
+
+def _ladder_pad(longest: int, bucket_samples: int) -> int:
+    rung = bucket_samples
+    while rung < longest:
+        rung = -(-int(rung * 1.5) // bucket_samples) * bucket_samples
+    return rung
+
+
+def _ladder_rows(count: int, batch_size: int) -> int:
+    rows = 1
+    while rows < count:
+        rows *= 2
+    return min(rows, max(batch_size, count))
+
+
 def _buckets(lengths: Sequence[int], batch_size: int, bucket_samples: int):
     order = np.argsort(lengths)
     for i in range(0, len(order), batch_size):
         idx = order[i : i + batch_size]
-        pad_to = -(-max(lengths[j] for j in idx) // bucket_samples) * bucket_samples
-        yield idx, pad_to
+        pad_to = _ladder_pad(max(lengths[j] for j in idx), bucket_samples)
+        rows = _ladder_rows(len(idx), batch_size)
+        if (rows, pad_to) not in _seen_shapes:
+            _seen_shapes.add((rows, pad_to))
+            logging.info("enhance: new jit shape rows=%d pad=%d "
+                         "(%d shapes this process)", rows, pad_to,
+                         len(_seen_shapes))
+        yield idx, rows, pad_to
 
 
 def enhance_waveform(trainer, wav: np.ndarray, rng) -> np.ndarray:
@@ -46,8 +75,8 @@ def enhance_files(trainer, wavs: List[np.ndarray], rng,
     batch_size = batch_size or trainer.cfg.batch_size
     lengths = [len(w) for w in wavs]
     results: List[Optional[np.ndarray]] = [None] * len(wavs)
-    for idx, pad_to in _buckets(lengths, batch_size, bucket_samples):
-        batch = np.zeros((len(idx), pad_to), np.float32)
+    for idx, rows, pad_to in _buckets(lengths, batch_size, bucket_samples):
+        batch = np.zeros((rows, pad_to), np.float32)
         scales = np.zeros(len(idx), np.float32)
         for row, j in enumerate(idx):
             w = wavs[j]

@@ -130,6 +130,18 @@ class ComplexDDPMTrainer(TrainerBase):
             partial(self._eval_step_impl, sigma=run.sigma),
             static_argnames=("sigma",),
         )
+        # Seeded step: derives the per-step PRNG *inside* the jit from the
+        # host step counter, so a training loop needs zero extra
+        # host<->device round trips per step (a host-side
+        # jax.random.split is a device call; on this tunneled PJRT each
+        # call costs real latency — see CLAUDE.md timing notes).
+        self._seed_base = jax.random.PRNGKey(run.seed ^ 0x5EED)
+        self._train_step_seeded = jax.jit(
+            partial(self._train_step_seeded_impl, joint=run.joint,
+                    sigma=run.sigma),
+            static_argnames=("joint", "sigma"),
+            donate_argnums=(0,),
+        )
 
         if run.retrain:
             restored = self.ckpt.restore_latest(self.ckpt_payload())
@@ -234,6 +246,12 @@ class ComplexDDPMTrainer(TrainerBase):
         }
         return new_state, total, loss_dis, loss_ddpm, gnorms
 
+    def _train_step_seeded_impl(self, state, noisy, clean, frame_nums, step,
+                                *, joint: bool, sigma: bool):
+        rng = jax.random.fold_in(self._seed_base, step)
+        return self._train_step_impl(state, noisy, clean, frame_nums, rng,
+                                     joint=joint, sigma=sigma)
+
     def _eval_step_impl(self, state, noisy, clean, frame_nums, rng,
                         *, sigma: bool):
         cfg = self.cfg
@@ -255,24 +273,62 @@ class ComplexDDPMTrainer(TrainerBase):
         )
         audio = audio * self.c
         loss = com_mse_loss(audio, label, frame_nums)
-        return audio, label, loss
+
+        # Residual-DDPM health diagnostics (logged every eval): the DDPM's
+        # regression target is the true residual r_true = label/c - x_init
+        # (reference trainer/complex_ddpm_trainer.py:726); r_samp is what
+        # the sampler actually adds.  The chain helps iff
+        # chain_mse (== loss) < prior_mse; energy calibration and cosine
+        # say *how* it fails when it fails (noise injection vs wrong
+        # direction).
+        r_true = label / self.c - x_init
+        r_samp = audio / self.c - x_init
+        t_idx = jnp.arange(r_true.shape[1])[None, :]
+        m = (t_idx < frame_nums[:, None]).astype(jnp.float32)[:, :, None, None]
+        n_valid = jnp.sum(m) * r_true.shape[2] * r_true.shape[3]
+        e_true = jnp.sum((r_true * m) ** 2) / n_valid
+        e_samp = jnp.sum((r_samp * m) ** 2) / n_valid
+        cos = jnp.sum(r_samp * r_true * m) / jnp.sqrt(
+            jnp.sum((r_samp * m) ** 2) * jnp.sum((r_true * m) ** 2) + 1e-20
+        )
+        diag = {
+            "prior_mse": com_mse_loss(x_init * self.c, label, frame_nums),
+            "res_energy_true": e_true,
+            "res_energy_sampled": e_samp,
+            "res_cos": cos,
+        }
+        return audio, label, loss, diag
 
     # ---- drivers ----------------------------------------------------------
     def evaluate(self) -> float:
-        losses, results = [], []
+        losses, results, diags = [], [], []
         for batch in self.cv_loader:
             self.rng, step_rng = jax.random.split(self.rng)
             noisy, clean, frames = self.put_batch(
                 batch.noisy, batch.clean, batch.frame_nums
             )
-            audio, label, loss = self._eval_step(
+            audio, label, loss, diag = self._eval_step(
                 self.state, noisy, clean, frames, step_rng
             )
             losses.append(float(loss))
+            diags.append({k: float(v) for k, v in diag.items()})
             results.append(
                 compare_complex(audio, label, batch.frame_nums, self.cfg.feat_type)
             )
         cv_loss = float(np.mean(losses))
+        diag_mean = {
+            f"test_{k}": float(np.mean([d[k] for d in diags]))
+            for k in diags[0]
+        }
+        diag_mean["test_chain_mse"] = cv_loss
+        self.metrics.log(diag_mean, step=self.step)
+        logging.info(
+            "residual diag: prior_mse %.5f chain_mse %.5f e_true %.6f "
+            "e_samp %.6f cos %.3f",
+            diag_mean["test_prior_mse"], cv_loss,
+            diag_mean["test_res_energy_true"],
+            diag_mean["test_res_energy_sampled"], diag_mean["test_res_cos"],
+        )
         self.log_eval("test", cv_loss, np.mean(np.asarray(results), axis=0))
         return cv_loss
 
@@ -378,7 +434,7 @@ class ComplexDDPMTrainer(TrainerBase):
             noisy, clean, frames = self.put_batch(
                 batch.noisy, batch.clean, batch.frame_nums
             )
-            audio, label, loss = self._eval_step(
+            audio, label, loss, _ = self._eval_step(
                 self.state, noisy, clean, frames, step_rng
             )
             losses.append(float(loss))

@@ -107,12 +107,13 @@ def test_evaluate_on_8_device_mesh_ragged_batch(tmp_path, corpus):
     # pad-row isolation: garbage in the 6 pad rows (frame_num 0) must
     # change neither the masked loss nor the real rows' sampled audio
     rng = jax.random.PRNGKey(99)
-    audio_z, label_z, loss_z = tr._eval_step(tr.state, noisy, clean, frames,
-                                             rng)
+    audio_z, label_z, loss_z, _ = tr._eval_step(tr.state, noisy, clean,
+                                                frames, rng)
     garbage = np.asarray(noisy).copy()
     garbage[2:] = 3.7
     noisy_g, = tr.put_batch(garbage)
-    audio_g, _, loss_g = tr._eval_step(tr.state, noisy_g, clean, frames, rng)
+    audio_g, _, loss_g, _ = tr._eval_step(tr.state, noisy_g, clean, frames,
+                                          rng)
     assert float(loss_z) == pytest.approx(float(loss_g), rel=1e-6)
     np.testing.assert_allclose(np.asarray(audio_z)[:2], np.asarray(audio_g)[:2],
                                atol=1e-5)

@@ -126,3 +126,59 @@ def test_env_gate(monkeypatch):
     monkeypatch.setenv("PDT_APPROX_PESQ", "1")
     s = pq.pesq_score(clean, noisy, 16000)
     assert s is not None and 1.0 <= s <= 4.64
+
+
+def test_reverb_battery_monotone():
+    """Reverberation family (round-2 verdict item 8): synthetic
+    exponential-decay RIRs with growing T60 must yield decreasing
+    scores — reverb smears energy in time, a different degradation
+    class from the additive/filtering/clipping families above."""
+    from scipy.signal import fftconvolve
+
+    _, clean = synthetic.make_utterance(np.random.default_rng(21), 48000,
+                                        snr_db=5.0)
+    clean = clean.astype(np.float64)
+
+    def rir(rng, t60, n=12000):
+        t = np.arange(n) / 16000.0
+        h = rng.standard_normal(n) * np.exp(-6.908 * t / t60)  # -60dB at t60
+        h[0] = 3.0  # direct path
+        return h / np.sqrt(np.sum(h**2))
+
+    # single RIR draws are high-variance (a lucky echo pattern can score
+    # above a shorter-T60 unlucky one), so each severity averages the
+    # same 3 paired draws — the estimator an actual evaluation would use
+    scores = []
+    for t60 in (0.1, 0.25, 0.6, 1.2):
+        per_draw = []
+        for seed in range(3):
+            rng = np.random.default_rng(100 + seed)
+            wet = fftconvolve(clean, rir(rng, t60))[: len(clean)]
+            per_draw.append(pesq_approx(clean, wet))
+        scores.append(np.mean(per_draw))
+    assert all(x > y for x, y in zip(scores, scores[1:])), scores
+    assert scores[0] - scores[-1] > 1.5, scores
+
+
+def test_phase_distortion_battery_monotone():
+    """Phase-distortion family: STFT-domain random phase jitter of
+    growing strength (magnitudes untouched) must yield decreasing
+    scores.  Catches an approximation that listens only to magnitude
+    spectra."""
+    from scipy.signal import istft as sistft
+    from scipy.signal import stft as sstft
+
+    rng = np.random.default_rng(22)
+    _, clean = synthetic.make_utterance(rng, 48000, snr_db=5.0)
+    clean = clean.astype(np.float64)
+    f, t, z = sstft(clean, fs=16000, nperseg=320, noverlap=160)
+
+    scores = []
+    for strength in (0.0, 0.4, 0.8, 1.6, 3.0):
+        jitter = rng.standard_normal(z.shape) * strength
+        _, deg = sistft(z * np.exp(1j * jitter), fs=16000, nperseg=320,
+                        noverlap=160)
+        deg = deg[: len(clean)]
+        scores.append(pesq_approx(clean, deg))
+    assert all(x > y for x, y in zip(scores, scores[1:])), scores
+    assert scores[0] - scores[-1] > 1.0, scores

@@ -266,3 +266,80 @@ def test_dual_aia_trans_merge_crm_transplant(torch_ref, rng):
         tout = tm(torch.from_numpy(np.moveaxis(x, -1, 1)))
     tout = np.moveaxis(tout.numpy(), 1, -1)
     np.testing.assert_allclose(np.asarray(out), tout, atol=5e-4, rtol=2e-3)
+
+
+def test_aia_complex_trans_mag_transplant(torch_ref, rng):
+    """Magnitude-mask-only variant (model/dbaiat.py:416-447): pins the
+    top-level wiring the other tests don't — mag/phase split, masking
+    decoder routing, and mag*mask recombination under the noisy phase."""
+    torch = torch_ref
+    from model.dbaiat import aia_complex_trans_mag as TorchMag
+
+    import jax
+    import jax.numpy as jnp
+
+    from prior_diffuse_tpu.models.dbaiat import AiaComplexTransMag
+
+    tm = TorchMag().eval()
+    _randomize(torch, tm, seed=3)
+
+    params = {
+        "en_mag": _dense_encoder(tm.en_mag),
+        "dual_trans_mag": _aia(tm.dual_trans_mag),
+        "aham_mag": _aham(tm.aham_mag),
+        "de_mag_mask": _dense_decoder(tm.de_mag_mask, masking=True),
+    }
+
+    model = AiaComplexTransMag()
+    x = rng.standard_normal((2, 7, 161, 2)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    _assert_tree_match(variables["params"], params)
+
+    cast = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), params)
+    out = model.apply({"params": cast}, jnp.asarray(x), train=False,
+                      mutable=False)
+    with torch.no_grad():
+        tout = tm(torch.from_numpy(np.moveaxis(x, -1, 1)))
+    tout = np.moveaxis(tout.numpy(), 1, -1)
+    np.testing.assert_allclose(np.asarray(out), tout, atol=5e-4, rtol=2e-3)
+
+
+def test_dual_aia_complex_trans_transplant(torch_ref, rng):
+    """Independent dual-branch variant (model/dbaiat.py:333-370): pins
+    the branch-averaging recombination (x_mag + pre_mag)/2 under the
+    *complex-branch* phase — the wiring unique to this variant."""
+    torch = torch_ref
+    from model.dbaiat import dual_aia_complex_trans as TorchDual
+
+    import jax
+    import jax.numpy as jnp
+
+    from prior_diffuse_tpu.models.dbaiat import DualAiaComplexTrans
+
+    tm = TorchDual().eval()
+    _randomize(torch, tm, seed=4)
+
+    params = {
+        "en_ri": _dense_encoder(tm.en_ri),
+        "en_mag": _dense_encoder(tm.en_mag),
+        "dual_trans": _aia(tm.dual_trans),
+        "aham": _aham(tm.aham),
+        "dual_trans_mag": _aia(tm.dual_trans_mag),
+        "aham_mag": _aham(tm.aham_mag),
+        "de1": _dense_decoder(tm.de1),
+        "de2": _dense_decoder(tm.de2),
+        "de_mag_mask": _dense_decoder(tm.de_mag_mask, masking=True),
+    }
+
+    model = DualAiaComplexTrans()
+    x = rng.standard_normal((2, 7, 161, 2)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    _assert_tree_match(variables["params"], params)
+
+    cast = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), params)
+    out = model.apply({"params": cast}, jnp.asarray(x), train=False,
+                      mutable=False)
+    with torch.no_grad():
+        tout = tm(torch.from_numpy(np.moveaxis(x, -1, 1)))
+    tout = np.moveaxis(tout.numpy(), 1, -1)
+    np.testing.assert_allclose(np.asarray(out), tout, atol=5e-4, rtol=2e-3)
