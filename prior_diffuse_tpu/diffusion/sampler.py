@@ -37,6 +37,7 @@ def reverse_sample(
     mode: str = "pirorgrad",
     sig_mask: Optional[jnp.ndarray] = None,
     dtype=jnp.float32,
+    unroll: int = 1,
 ) -> jnp.ndarray:
     """Run the full reverse chain; returns the residual/sample estimate.
 
@@ -79,7 +80,10 @@ def reverse_sample(
         x = jnp.where(c["is_last"], x, x + c["new_sigma"] * noise)
         return x, None
 
-    x, _ = jax.lax.scan(step, x, consts)
+    # unroll > 1 trades code size for cross-step fusion/pipelining
+    # headroom (the whole chain is only 6 steps; measured in
+    # scripts/profile_breakdown.py before changing any default)
+    x, _ = jax.lax.scan(step, x, consts, unroll=unroll)
     if mode == "pirorgrad":
         x = x + x_init
     return x

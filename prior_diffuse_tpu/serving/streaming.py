@@ -6,6 +6,17 @@ means unbounded activation memory and one XLA shape per length.  This
 module enhances arbitrarily long audio with **bounded** memory and a
 single compiled shape: fixed-length segments with overlap, enhanced as
 batches, then recombined with equal-power crossfades.
+
+When does streaming output differ from whole-file output?  The RMS
+normalization is file-global (computed once over the whole waveform, so
+per-segment level pumping cannot occur), and the complementary
+crossfade guarantees a seam-free (click-free) result — but the two
+paths are *not* bit-equal: (a) the reverse sampler draws an independent
+x_T per segment instead of one per file, and (b) models whose receptive
+field spans the segment (BLSTM/attention time context) see truncated
+context near segment edges.  ``tests/test_serving.py::
+test_streaming_vs_wholefile_real_model`` pins both the seam-free
+property and the deviation bound with real trainer weights.
 """
 
 from __future__ import annotations

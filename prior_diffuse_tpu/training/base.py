@@ -142,25 +142,60 @@ class TrainerBase:
         return tuple(out)
 
     def put_replicated(self, tree):
+        """Replicate a (state-sized) tree onto the mesh.
+
+        Large trees go through the packed transfer path: the tunneled
+        PJRT pays ~1 RPC of latency per buffer, so shipping the ~700
+        train-state leaves individually costs minutes; packed it is one
+        buffer per dtype (see utils/packing.py)."""
+        from prior_diffuse_tpu.utils.packing import device_put_tree
+
+        leaves = jax.tree.leaves(tree)
+        host_leaves = [l for l in leaves if not isinstance(l, jax.Array)]
+        # packing only pays off where transfers have per-buffer RPC
+        # latency (the tunneled TPU); on local CPU it would just add an
+        # unpack-jit compile per restore
+        if len(host_leaves) > 16 and jax.default_backend() != "cpu":
+            return device_put_tree(tree, self.replicated)
+        # already-on-device (or small) trees: plain device_put is a
+        # no-op/cheap; packing them would force a per-leaf readback
         return jax.device_put(tree, self.replicated)
 
     # ---- checkpoint payloads ----------------------------------------------
     # Unlike the reference (positional state-dict list that drops the
     # epoch counter, RNG and plateau state — trainer/complex_ddpm_
     # trainer.py:612-631), checkpoints carry the full training context.
-    def ckpt_payload(self):
+    def _ckpt_meta(self):
         return {
-            "state": jax.tree.map(np.asarray, self.state),
-            "meta": {
-                # 0-d ndarrays: orbax StandardSave rejects numpy scalars
-                "step": np.array(self.step, np.int64),
-                # legacy uint32[2] PRNG keys round-trip as plain arrays
-                "rng": np.asarray(self.rng),
-                "plateau_prev": np.array(self.plateau.prev_loss, np.float64),
-                "plateau_best": np.array(self.plateau.best_loss, np.float64),
-                "plateau_bad": np.array(self.plateau.bad_epochs, np.int64),
-            },
+            # 0-d ndarrays: orbax StandardSave rejects numpy scalars
+            "step": np.array(self.step, np.int64),
+            # legacy uint32[2] PRNG keys round-trip as plain arrays
+            "rng": np.asarray(self.rng),
+            "plateau_prev": np.array(self.plateau.prev_loss, np.float64),
+            "plateau_best": np.array(self.plateau.best_loss, np.float64),
+            "plateau_bad": np.array(self.plateau.bad_epochs, np.int64),
         }
+
+    def ckpt_payload(self):
+        from prior_diffuse_tpu.utils.packing import device_get_tree
+
+        if jax.default_backend() != "cpu":
+            # packed readback: one RPC per dtype, not per leaf
+            state = device_get_tree(self.state)
+        else:
+            state = jax.tree.map(np.asarray, self.state)
+        return {"state": state, "meta": self._ckpt_meta()}
+
+    def ckpt_template(self):
+        """Shape/dtype-matching payload of host zeros, for orbax
+        *restores*.  Building the restore template from the live state
+        (``ckpt_payload``) would read every leaf back from the device —
+        on the tunneled single-chip PJRT that is one high-latency RPC
+        per leaf, tens of minutes for the full train state — when
+        restore only needs the tree structure and array specs."""
+        state_t = jax.tree.map(lambda a: np.zeros(a.shape, a.dtype),
+                               self.state)
+        return {"state": state_t, "meta": self._ckpt_meta()}
 
     def restore_payload(self, payload) -> None:
         self.state = self.put_replicated(payload["state"])
@@ -199,6 +234,13 @@ class TrainerBase:
             step=self.step,
         )
         note = "" if mode == "p862" else f" [pesq={mode}]"
+        # CSIG/CBAK/COVL clip at the Loizou regression floor of 1.0 —
+        # a clipped cell carries no comparative information, so flag it
+        clipped = [n for n, v in
+                   [("csig", csig), ("cbak", cbak), ("covl", covl)]
+                   if v <= 1.0 + 5e-4]
+        if clipped:
+            note += f" [at regression floor: {','.join(clipped)}]"
         logging.info(
             "%s: loss %.5f csig %.3f cbak %.3f covl %.3f pesq %.3f ssnr %.3f stoi %.3f%s",
             prefix, loss, csig, cbak, covl, pesq, ssnr, stoi, note,

@@ -97,29 +97,40 @@ class ComplexDDPMTrainer(TrainerBase):
         k_dis, k_ddpm, self.rng = jax.random.split(k, 3)
         t_frames = self.cfg.chunk_length // self.cfg.win_shift + 1
         dummy = jnp.zeros((1, t_frames, self.cfg.freq_bins, 2))
-        dis_vars = self.dis_model.init(k_dis, dummy)
-        if self.mode == "deltamu":
-            ddpm_vars = self.ddpm_model.init(k_ddpm, dummy, jnp.zeros((1,)))
-        else:
-            ddpm_vars = self.ddpm_model.init(k_ddpm, dummy, dummy, jnp.zeros((1,)))
-
         self.tx_dis = torch_adam(exp.optim.lr, exp.optim.l2)
         opt_ddpm_cfg = exp.optim_ddpm or exp.optim
         self.tx_ddpm = torch_adam(opt_ddpm_cfg.lr, opt_ddpm_cfg.l2)
 
-        state = {
-            "dis": {
-                "params": dis_vars["params"],
-                "batch_stats": dis_vars.get("batch_stats", {}),
-            },
-            "ddpm": {
-                "params": ddpm_vars["params"],
-                "batch_stats": ddpm_vars.get("batch_stats", {}),
-            },
-        }
-        state["opt_dis"] = self.tx_dis.init(state["dis"]["params"])
-        state["opt_ddpm"] = self.tx_ddpm.init(state["ddpm"]["params"])
-        self.state = self.put_replicated(state)
+        # The whole initial state (both model inits + both optimizer
+        # inits) is ONE jitted program: eager flax init / optax init
+        # dispatch every layer op as its own device RPC — minutes on
+        # the tunneled PJRT — while this is a single call whose outputs
+        # are born on-device (no host round trip at all).
+        def _build_state(k_dis, k_ddpm, dummy):
+            dis_vars = self.dis_model.init(k_dis, dummy)
+            if self.mode == "deltamu":
+                ddpm_vars = self.ddpm_model.init(k_ddpm, dummy,
+                                                 jnp.zeros((1,)))
+            else:
+                ddpm_vars = self.ddpm_model.init(k_ddpm, dummy, dummy,
+                                                 jnp.zeros((1,)))
+            state = {
+                "dis": {
+                    "params": dis_vars["params"],
+                    "batch_stats": dis_vars.get("batch_stats", {}),
+                },
+                "ddpm": {
+                    "params": ddpm_vars["params"],
+                    "batch_stats": ddpm_vars.get("batch_stats", {}),
+                },
+            }
+            state["opt_dis"] = self.tx_dis.init(state["dis"]["params"])
+            state["opt_ddpm"] = self.tx_ddpm.init(state["ddpm"]["params"])
+            return state
+
+        build = (jax.jit(_build_state)
+                 if jax.default_backend() != "cpu" else _build_state)
+        self.state = self.put_replicated(build(k_dis, k_ddpm, dummy))
 
         self._train_step = jax.jit(
             partial(self._train_step_impl, joint=run.joint, sigma=run.sigma),
@@ -144,7 +155,7 @@ class ComplexDDPMTrainer(TrainerBase):
         )
 
         if run.retrain:
-            restored = self.ckpt.restore_latest(self.ckpt_payload())
+            restored = self.ckpt.restore_latest(self.ckpt_template())
             if restored is not None:
                 self.restore_payload(restored)
                 last = self.ckpt.latest_epoch()
@@ -517,7 +528,7 @@ class ComplexDDPMTrainer(TrainerBase):
         return self._enhance_jit(self._serve_state, wav, rng)
 
     def load_best(self):
-        restored = self.ckpt.restore_best(self.ckpt_payload())
+        restored = self.ckpt.restore_best(self.ckpt_template())
         if restored is not None:
             self.restore_payload(restored)
         return restored is not None

@@ -54,22 +54,30 @@ class MagTrainer(TrainerBase):
         k_init, self.rng = jax.random.split(k)
         t_frames = self.cfg.chunk_length // self.cfg.win_shift + 1
         dummy = jnp.zeros((1, t_frames, self.cfg.freq_bins))
-        variables = self.model.init(k_init, dummy)
         self.tx = torch_adam(exp.optim.lr, exp.optim.l2)
-        state = {
-            "model": {
-                "params": variables["params"],
-                "batch_stats": variables.get("batch_stats", {}),
-            },
-        }
-        state["opt"] = self.tx.init(state["model"]["params"])
-        self.state = self.put_replicated(state)
+
+        # one jitted program for model init + optimizer init: eager
+        # init is one high-latency RPC per layer op on the tunneled PJRT
+        def _build_state(k_init, dummy):
+            variables = self.model.init(k_init, dummy)
+            state = {
+                "model": {
+                    "params": variables["params"],
+                    "batch_stats": variables.get("batch_stats", {}),
+                },
+            }
+            state["opt"] = self.tx.init(state["model"]["params"])
+            return state
+
+        build = (jax.jit(_build_state)
+                 if jax.default_backend() != "cpu" else _build_state)
+        self.state = self.put_replicated(build(k_init, dummy))
 
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
 
         if run.retrain:
-            restored = self.ckpt.restore_latest(self.ckpt_payload())
+            restored = self.ckpt.restore_latest(self.ckpt_template())
             if restored is not None:
                 self.restore_payload(restored)
                 last = self.ckpt.latest_epoch()
@@ -184,7 +192,7 @@ class MagTrainer(TrainerBase):
     train_ddpm = train
 
     def load_best(self):
-        restored = self.ckpt.restore_best(self.ckpt_payload())
+        restored = self.ckpt.restore_best(self.ckpt_template())
         if restored is not None:
             self.restore_payload(restored)
         return restored is not None

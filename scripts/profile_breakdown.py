@@ -1,0 +1,222 @@
+"""Op-level time attribution for the enhance and train jits (round-2
+verdict item 2: replace the asserted "latency-bound" story with
+measurements).
+
+The axon PJRT exposes no device-side trace, so attribution is by
+*ablation*: each pipeline stage is timed as its own chained jit with the
+same slope method bench.py uses (two chain lengths, scalar readback,
+median slope).  Stages nest, so (full - sum of parts) exposes overhead
+XLA fusion removes when the stages are compiled together.
+
+Also sweeps the enhance batch size (1..32) to locate and bound the
+batch-16 cliff from BENCH_r2_notes.md, and tries a jax.profiler trace
+(kept if the backend produces one).
+
+Usage:
+  nohup python scripts/profile_breakdown.py > /tmp/profile.log 2>&1 &
+  # writes docs/PERF_r3.json; summarize into docs/PERF_r3.md
+"""
+
+import json
+import os
+import statistics
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+CHUNK = 48000
+N1, N2 = 1, 6
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from prior_diffuse_tpu.config import DiffusionConfig, TrainConfig
+    from prior_diffuse_tpu.diffusion import inference_schedule, reverse_sample
+    from prior_diffuse_tpu.models import DiffUNet, DiffUNet1
+    from prior_diffuse_tpu.signal.compress import compress_spec, decompress_spec
+    from prior_diffuse_tpu.signal.stft import istft, stft
+
+    cfg = TrainConfig()
+    diff = DiffusionConfig()
+    sched = inference_schedule(diff, fast_sampling=True)
+
+    dis = DiffUNet()
+    ddpm = DiffUNet1(num_steps=diff.num_steps)
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    t_frames = CHUNK // cfg.win_shift + 1
+    dummy = jnp.zeros((1, t_frames, cfg.freq_bins, 2))
+    dis_vars = dis.init(k1, dummy)
+    ddpm_vars = ddpm.init(k2, dummy, dummy, jnp.zeros((1,)))
+
+    def slope(fn, *args, reps=3):
+        """Median wall seconds per op via chained runs + scalar readback."""
+        out = fn(*args)
+        float(jnp.sum(out if not isinstance(out, tuple) else out[0]))
+
+        def chain(n):
+            t0 = time.time()
+            o = None
+            for i in range(n):
+                o = fn(*args)
+            float(jnp.sum(o if not isinstance(o, tuple) else o[0]))
+            return time.time() - t0
+
+        vals = [(chain(N2) - chain(N1)) / (N2 - N1) for _ in range(reps)]
+        return statistics.median(vals)
+
+    results = {"device": getattr(jax.devices()[0], "device_kind", "?")}
+
+    for dname, dt in [("f32", jnp.float32), ("bf16", jnp.bfloat16)]:
+        if dt != jnp.float32:
+            cast = lambda tree: jax.tree.map(lambda p: p.astype(dt), tree)
+            dv, pv = cast(dis_vars), cast(ddpm_vars)
+        else:
+            dv, pv = dis_vars, ddpm_vars
+
+        batch = 8
+        wav = jax.random.normal(k3, (batch, CHUNK)) * 0.1
+
+        @jax.jit
+        def stage_stft(w):
+            return compress_spec(stft(w), cfg.feat_type)
+
+        @jax.jit
+        def stage_prior(dv, feat):
+            return dis.apply(dv, feat.astype(dt), mutable=False)
+
+        @jax.jit
+        def stage_one_ddpm(pv, x, c, t):
+            return ddpm.apply(pv, x.astype(dt), c.astype(dt),
+                              t.astype(dt), mutable=False)
+
+        @jax.jit
+        def stage_sampler(pv, x_init, rng):
+            def model_fn(x, t):
+                return ddpm.apply(pv, x.astype(dt), x_init, t.astype(dt),
+                                  mutable=False).astype(dt)
+
+            return reverse_sample(model_fn, rng, x_init, x_init.shape,
+                                  sched, "pirorgrad", dtype=dt)
+
+        @jax.jit
+        def stage_istft(spec, n):
+            return istft(decompress_spec(spec.astype(jnp.float32)
+                                         * diff.scale_c, cfg.feat_type),
+                         length=n)
+
+        @jax.jit
+        def full(dv, pv, w, rng):
+            feat = compress_spec(stft(w), cfg.feat_type)
+            x_init = (dis.apply(dv, feat.astype(dt), mutable=False)
+                      .astype(dt) / jnp.asarray(diff.scale_c, dt))
+
+            def model_fn(x, t):
+                return ddpm.apply(pv, x.astype(dt), x_init, t.astype(dt),
+                                  mutable=False).astype(dt)
+
+            audio = reverse_sample(model_fn, rng, x_init, x_init.shape,
+                                   sched, "pirorgrad", dtype=dt)
+            spec = decompress_spec(audio.astype(jnp.float32) * diff.scale_c,
+                                   cfg.feat_type)
+            return istft(spec, length=w.shape[-1])
+
+        feat = stage_stft(wav)
+        x_init = (stage_prior(dv, feat).astype(dt)
+                  / jnp.asarray(diff.scale_c, dt))
+        tvec = jnp.zeros((batch,))
+        r = {}
+        r["full_ms"] = slope(full, dv, pv, wav, k4) * 1e3
+        r["stft_compress_ms"] = slope(stage_stft, wav) * 1e3
+        r["prior_ms"] = slope(stage_prior, dv, feat) * 1e3
+        r["ddpm_single_call_ms"] = slope(stage_one_ddpm, pv, x_init,
+                                         x_init, tvec) * 1e3
+        r["sampler_6step_ms"] = slope(stage_sampler, pv, x_init, k4) * 1e3
+        r["istft_ms"] = slope(stage_istft, x_init, CHUNK) * 1e3
+        r["parts_sum_ms"] = (r["stft_compress_ms"] + r["prior_ms"]
+                             + r["sampler_6step_ms"] + r["istft_ms"])
+        r["scan_overhead_ms"] = (r["sampler_6step_ms"]
+                                 - 6 * r["ddpm_single_call_ms"])
+        results[f"enhance_{dname}"] = {k: round(v, 2) for k, v in r.items()}
+        print(json.dumps({f"enhance_{dname}": results[f"enhance_{dname}"]}),
+              flush=True)
+
+    # batch-size sweep (bf16): locate the cliff
+    dt = jnp.bfloat16
+    cast = lambda tree: jax.tree.map(lambda p: p.astype(dt), tree)
+    dv, pv = cast(dis_vars), cast(ddpm_vars)
+
+    @jax.jit
+    def full_b(dv, pv, w, rng):
+        feat = compress_spec(stft(w), cfg.feat_type)
+        x_init = (dis.apply(dv, feat.astype(dt), mutable=False)
+                  .astype(dt) / jnp.asarray(diff.scale_c, dt))
+
+        def model_fn(x, t):
+            return ddpm.apply(pv, x.astype(dt), x_init, t.astype(dt),
+                              mutable=False).astype(dt)
+
+        audio = reverse_sample(model_fn, rng, x_init, x_init.shape,
+                               sched, "pirorgrad", dtype=dt)
+        spec = decompress_spec(audio.astype(jnp.float32) * diff.scale_c,
+                               cfg.feat_type)
+        return istft(spec, length=w.shape[-1])
+
+    sweep = {}
+    for b in (1, 2, 4, 8, 12, 16, 24, 32):
+        w = jax.random.normal(k3, (b, CHUNK)) * 0.1
+        ms = slope(full_b, dv, pv, w, k4) * 1e3
+        sweep[b] = {"ms": round(ms, 2), "ms_per_utt": round(ms / b, 2)}
+        print(json.dumps({"batch": b, **sweep[b]}), flush=True)
+    results["batch_sweep_bf16"] = sweep
+
+    # optimization candidate: fully unrolled 6-step sampler vs scan
+    @jax.jit
+    def full_unrolled(dv, pv, w, rng):
+        feat = compress_spec(stft(w), cfg.feat_type)
+        x_init = (dis.apply(dv, feat.astype(dt), mutable=False)
+                  .astype(dt) / jnp.asarray(diff.scale_c, dt))
+
+        def model_fn(x, t):
+            return ddpm.apply(pv, x.astype(dt), x_init, t.astype(dt),
+                              mutable=False).astype(dt)
+
+        audio = reverse_sample(model_fn, rng, x_init, x_init.shape,
+                               sched, "pirorgrad", dtype=dt, unroll=6)
+        spec = decompress_spec(audio.astype(jnp.float32) * diff.scale_c,
+                               cfg.feat_type)
+        return istft(spec, length=w.shape[-1])
+
+    w = jax.random.normal(k3, (8, CHUNK)) * 0.1
+    results["enhance_bf16_unroll6_ms"] = round(
+        slope(full_unrolled, dv, pv, w, k4) * 1e3, 2
+    )
+    print(json.dumps(
+        {"enhance_bf16_unroll6_ms": results["enhance_bf16_unroll6_ms"]}),
+        flush=True)
+
+    # attempt a profiler trace (host-side at minimum)
+    trace_dir = "/tmp/jax_trace_enhance"
+    try:
+        with jax.profiler.trace(trace_dir):
+            w = jax.random.normal(k3, (8, CHUNK)) * 0.1
+            for i in range(3):
+                out = full_b(dv, pv, w, jax.random.fold_in(k4, i))
+            float(jnp.sum(out))
+        n_files = sum(len(fs) for _, _, fs in os.walk(trace_dir))
+        results["profiler_trace"] = {"dir": trace_dir, "files": n_files}
+    except Exception as e:
+        results["profiler_trace"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+
+    os.makedirs("docs", exist_ok=True)
+    with open("docs/PERF_r3.json", "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote docs/PERF_r3.json", flush=True)
+
+
+if __name__ == "__main__":
+    main()
