@@ -20,6 +20,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from prior_diffuse_tpu.diffusion.schedule import InferenceSchedule
 
@@ -60,24 +61,33 @@ def reverse_sample(
     batch = shape[0]
     # scan runs n = N-1 .. 0
     order = jnp.arange(n_steps - 1, -1, -1)
+    # With the reference schedule new_sigma is identically 0 (c1 >= 1,
+    # SURVEY 2.9) — the per-step noise would be drawn and multiplied by
+    # zero.  The schedule is host data, so detect that at trace time and
+    # skip the 6 threefry draws entirely; behavior is bit-identical.
+    noiseless = bool((np.abs(np.asarray(sched.new_sigma)) < 1e-30).all())
     consts = {
         "c1": jnp.asarray(sched.c1, dtype)[order],
         "c2": jnp.asarray(sched.c2, dtype)[order],
-        "new_sigma": jnp.asarray(sched.new_sigma, dtype)[order],
         "T": jnp.asarray(sched.T, dtype)[order],
-        "is_last": (order == 0),
-        "rngs": jax.random.split(scan_rng, n_steps),
     }
+    if not noiseless:
+        consts.update({
+            "new_sigma": jnp.asarray(sched.new_sigma, dtype)[order],
+            "is_last": (order == 0),
+            "rngs": jax.random.split(scan_rng, n_steps),
+        })
 
     def step(x, c):
         t_vec = jnp.full((batch,), c["T"], dtype)
         eps = model_fn(x, t_vec)
         x = c["c1"] * (x - c["c2"] * eps)
-        noise = jax.random.normal(c["rngs"], shape, dtype)
-        if sig_mask is not None:
-            noise = noise * jnp.sqrt(sig_mask)
-        # step n=0 adds no noise (reference: `if n > 0`)
-        x = jnp.where(c["is_last"], x, x + c["new_sigma"] * noise)
+        if not noiseless:
+            noise = jax.random.normal(c["rngs"], shape, dtype)
+            if sig_mask is not None:
+                noise = noise * jnp.sqrt(sig_mask)
+            # step n=0 adds no noise (reference: `if n > 0`)
+            x = jnp.where(c["is_last"], x, x + c["new_sigma"] * noise)
         return x, None
 
     # unroll > 1 trades code size for cross-step fusion/pipelining
