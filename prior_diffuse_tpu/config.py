@@ -89,6 +89,14 @@ class DiffusionConfig:
     # (trainer/complex_ddpm_trainer.py:460 gamma[0]=0.2, :30 c=11)
     gamma0_override: float = 0.2
     scale_c: float = 11.0
+    # Framework extension (no reference counterpart): in pirorgrad mode,
+    # condition the residual DDPM on BOTH x_init and the noisy spectrum
+    # (cond = concat([x_init, feat/c], channel axis)) instead of x_init
+    # alone (reference trainer/complex_ddpm_trainer.py:731).  Motivated
+    # by the round-3 predictability probe: the residual the DDPM must
+    # generate can carry structure recoverable from the noisy input that
+    # the prior discarded.  Off by default (reference semantics).
+    cond_noisy: bool = False
 
     @property
     def num_steps(self) -> int:

@@ -69,6 +69,12 @@ class ComplexDDPMTrainer(TrainerBase):
         super().__init__(run, exp, mesh, metrics_logger)
         diff = exp.diffusion
         self.mode = _mode(diff)
+        # cond_noisy extension (see DiffusionConfig): widen the pirorgrad
+        # conditioner to [x_init, feat/c]; meaningless in the other modes
+        # (conditional already sees feat, deltamu is unconditional)
+        if diff.cond_noisy and self.mode != "pirorgrad":
+            raise ValueError("cond_noisy requires pirorgrad mode")
+        self.cond_noisy = bool(diff.cond_noisy)
         self.c = diff.scale_c
         self.sched = make_schedule(diff)
         self.alpha_bar = jnp.asarray(self.sched.alpha_bar, jnp.float32)
@@ -112,7 +118,9 @@ class ComplexDDPMTrainer(TrainerBase):
                 ddpm_vars = self.ddpm_model.init(k_ddpm, dummy,
                                                  jnp.zeros((1,)))
             else:
-                ddpm_vars = self.ddpm_model.init(k_ddpm, dummy, dummy,
+                cond_dummy = (jnp.concatenate([dummy, dummy], axis=-1)
+                              if self.cond_noisy else dummy)
+                ddpm_vars = self.ddpm_model.init(k_ddpm, dummy, cond_dummy,
                                                  jnp.zeros((1,)))
             state = {
                 "dis": {
@@ -164,6 +172,17 @@ class ComplexDDPMTrainer(TrainerBase):
                              self.epoch, self.step)
 
     # ---- functional cores -------------------------------------------------
+    def _cond(self, feat_sc, x_init):
+        """DDPM conditioner: noisy spectrum (conditional mode), x_init
+        (pirorgrad, reference trainer/complex_ddpm_trainer.py:731), or
+        the concat of both (cond_noisy extension)."""
+        if self.mode == "conditional":
+            return feat_sc
+        if self.cond_noisy:
+            return jnp.concatenate(
+                [x_init, feat_sc.astype(x_init.dtype)], axis=-1)
+        return x_init
+
     def _dis_apply(self, variables, feat, train):
         out = self.dis_model.apply(
             {"params": variables["params"],
@@ -215,7 +234,7 @@ class ComplexDDPMTrainer(TrainerBase):
             )
             ddpm_vars = {"params": params["ddpm"],
                          "batch_stats": state["ddpm"]["batch_stats"]}
-            cond = feat / self.c if self.mode == "conditional" else x_init
+            cond = self._cond(feat / self.c, x_init)
             eps, new_ddpm_stats = self._ddpm_apply(
                 ddpm_vars, x_t, cond, t, train=True
             )
@@ -273,7 +292,7 @@ class ComplexDDPMTrainer(TrainerBase):
         feat_sc = feat / self.c
         sig = sigma_mask(x_init) if sigma else None
         sched = inference_schedule(self.exp.diffusion)
-        cond = feat_sc if self.mode == "conditional" else x_init
+        cond = self._cond(feat_sc, x_init)
 
         def model_fn(x, t):
             eps, _ = self._ddpm_apply(state["ddpm"], x, cond, t, train=False)
@@ -488,8 +507,8 @@ class ComplexDDPMTrainer(TrainerBase):
                 x_init = x_init.astype(dt) / jnp.asarray(self.c, dt)
                 sig = sigma_mask(x_init) if self.run.sigma else None
                 sched = inference_schedule(self.exp.diffusion)
-                cond = (feat.astype(dt) / jnp.asarray(self.c, dt)
-                        if self.mode == "conditional" else x_init)
+                cond = self._cond(feat.astype(dt) / jnp.asarray(self.c, dt),
+                                  x_init)
 
                 def model_fn(x, t):
                     eps, _ = self._ddpm_apply(state["ddpm"], x.astype(dt),

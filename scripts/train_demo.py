@@ -85,8 +85,18 @@ def main():
     ap.add_argument("--ddpm-steps", type=int, default=0,
                     help="additional DDPM-only steps (stage B, prior frozen)")
     ap.add_argument("--assets", default="assets/speech_demo")
+    ap.add_argument("--doc", default="demo",
+                    help="checkpoint/log namespace under --assets")
     ap.add_argument("--batch", type=int, default=6)
     ap.add_argument("--report", default="docs/demo_speechlike.md")
+    ap.add_argument("--cond-noisy", action="store_true",
+                    help="framework extension: DDPM conditions on "
+                         "[x_init, noisy spectrum] (DiffusionConfig."
+                         "cond_noisy)")
+    ap.add_argument("--warm-start-dis", default=None, metavar="ASSETS",
+                    help="initialize the (frozen) prior from another "
+                         "run's best checkpoint (assets dir, doc 'demo') "
+                         "instead of training stage A")
     ap.add_argument("--ckpt-every", type=int, default=2000)
     ap.add_argument("--eval-every", type=int, default=0,
                     help="full sampling eval + residual diag cadence (0=off)")
@@ -135,13 +145,37 @@ def main():
         model=ModelConfig("DiffUNet"),
         optim=OptimConfig(lr=args.lr),
         optim_ddpm=OptimConfig(lr=args.lr_ddpm),
-        diffusion=DiffusionConfig(),
+        diffusion=DiffusionConfig(cond_noisy=args.cond_noisy),
     )
     t0 = time.time()
 
-    run_a = RunConfig(assets=args.assets, doc="demo", data_root=corpus,
+    def maybe_warm_start(tr):
+        """Copy the trained prior (dis params + BN stats) from another
+        run's best checkpoint into this fresh trainer.  Used to explore
+        residual-DDPM variants (e.g. --cond-noisy, whose DDPM shapes
+        differ from the source checkpoint) without retraining stage A."""
+        if not args.warm_start_dis or tr.step > 0:
+            return
+        src_exp = ExperimentConfig(
+            train=exp.train, model=exp.model, optim=exp.optim,
+            optim_ddpm=exp.optim_ddpm, diffusion=DiffusionConfig(),
+        )
+        src_run = RunConfig(assets=args.warm_start_dis, doc="demo",
+                            data_root=corpus, joint=False, retrain=True,
+                            sigma=args.sigma)
+        src = ComplexDDPMTrainer(src_run, src_exp)
+        if src.step == 0:
+            raise SystemExit(f"no checkpoint under {args.warm_start_dis}")
+        print(f"warm-starting dis from {args.warm_start_dis} "
+              f"(step {src.step})", flush=True)
+        tr.state["dis"] = src.state["dis"]
+        del src
+
+    run_a = RunConfig(assets=args.assets, doc=args.doc, data_root=corpus,
                       joint=True, retrain=True, sigma=args.sigma)
     tr = ComplexDDPMTrainer(run_a, exp)
+    if args.steps > 0:
+        maybe_warm_start(tr)
     print(f"stage A (joint) from step {tr.step} to {args.steps}", flush=True)
     if tr.step < args.steps:
         run_stage(tr, args.steps, args, t0)
@@ -152,10 +186,13 @@ def main():
     if args.ddpm_steps and tr.step < total_steps:
         # stage B: reference non-joint mode — dis params frozen, only the
         # residual DDPM trains (resumes from the stage-A checkpoint)
+        warm = args.warm_start_dis and tr.step == 0
         del tr
-        run_b = RunConfig(assets=args.assets, doc="demo", data_root=corpus,
+        run_b = RunConfig(assets=args.assets, doc=args.doc, data_root=corpus,
                           joint=False, retrain=True, sigma=args.sigma)
         tr = ComplexDDPMTrainer(run_b, exp)
+        if warm:
+            maybe_warm_start(tr)
         print(f"stage B (ddpm-only) from step {tr.step} to {total_steps}",
               flush=True)
         run_stage(tr, total_steps, args, t0)
@@ -226,6 +263,9 @@ def main():
                 + (f" + {args.ddpm_steps} DDPM-only steps"
                    if args.ddpm_steps else "")
                 + (", sigma-conditioned" if args.sigma else "")
+                + (", cond_noisy extension" if args.cond_noisy else "")
+                + (f", prior warm-started from {args.warm_start_dis}"
+                   if args.warm_start_dis else "")
                 + f", lam {args.lam:g}.\n\n")
         f.write(f"**PESQ regime: `{mode}`** — CSIG/CBAK/COVL inherit this "
                 f"regime; values are comparable only within it. Cells "

@@ -65,6 +65,27 @@ def test_conditional_mode(tmp_path, corpus):
     assert np.isfinite(total) and l_dis > 0.0
 
 
+def test_cond_noisy_extension(tmp_path, corpus):
+    """cond_noisy (framework extension): the residual DDPM conditions on
+    concat([x_init, feat/c]) — the preprocess conv widens to 6 input
+    channels, train + eval + enhance run end to end."""
+    diff = DiffusionConfig(cond_noisy=True)
+    tr, total, l_dis, l_ddpm = _one_step(tmp_path, corpus, _exp(diff),
+                                         joint=True)
+    assert tr.cond_noisy
+    kernel = tr.state["ddpm"]["params"]["preprocess"]["kernel"]
+    assert kernel.shape == (1, 1, 6, 2)  # x_t(2) + x_init(2) + feat(2)
+    assert np.isfinite(total) and l_ddpm > 0.0
+    cv = tr.evaluate()
+    assert np.isfinite(cv)
+
+
+def test_cond_noisy_requires_pirorgrad(tmp_path, corpus):
+    diff = DiffusionConfig(pirorgrad=False, deltamu=True, cond_noisy=True)
+    with pytest.raises(ValueError, match="pirorgrad"):
+        _one_step(tmp_path, corpus, _exp(diff))
+
+
 def test_non_joint_freezes_dis(tmp_path, corpus):
     from prior_diffuse_tpu.training import ComplexDDPMTrainer
 
