@@ -97,6 +97,13 @@ class DiffusionConfig:
     # generate can carry structure recoverable from the noisy input that
     # the prior discarded.  Off by default (reference semantics).
     cond_noisy: bool = False
+    # Framework extension (no reference counterpart): draw training
+    # timesteps from the fast inference schedule's aligned (T, alpha_bar)
+    # pairs instead of uniform over the full integer grid, so denoiser
+    # capacity concentrates on exactly the 6 noise levels the fast
+    # sampler queries (round-3 diagnosis: the denoiser was weakest at
+    # those levels, docs/diag_residual_r3.md).  Off by default.
+    train_t_fast: bool = False
 
     @property
     def num_steps(self) -> int:

@@ -35,10 +35,13 @@ def q_sample(
     num_steps: int,
     mode: str = "pirorgrad",
     sig_mask: Optional[jnp.ndarray] = None,
+    t_grid: Optional[jnp.ndarray] = None,
+    ab_grid: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Draw ``t``, ``eps`` and build ``x_t``.
 
-    Returns ``(x_t, noise, t)`` where ``t`` is int32 ``[B]``.
+    Returns ``(x_t, noise, t)`` where ``t`` is int32 ``[B]`` (or float32
+    when drawn from ``t_grid``).
 
     modes (trainer/complex_ddpm_trainer.py:720-733):
       * ``pirorgrad``: x_t = sqrt(ab_t)*(clean - x_init) + sqrt(1-ab_t)*eps
@@ -48,11 +51,23 @@ def q_sample(
     When ``sig_mask`` is given the noise is scaled by ``sqrt(mask)``
     before mixing (PriorGrad, lines 712-717) — note the *returned*
     noise is the scaled one, which is also the regression target.
+
+    ``t_grid``/``ab_grid`` (framework extension, no reference
+    counterpart): when given, ``t`` is drawn uniformly from these
+    aligned (timestep, alpha_bar) pairs instead of the full integer
+    grid — pass the fast inference schedule's ``(T, alpha_cum)`` to
+    concentrate training exactly on the noise levels the fast sampler
+    queries (``DiffusionConfig.train_t_fast``).
     """
     t_rng, n_rng = jax.random.split(rng)
     batch = clean.shape[0]
-    t = jax.random.randint(t_rng, (batch,), 0, num_steps)
-    ab = alpha_bar.astype(clean.dtype)[t].reshape(batch, 1, 1, 1)
+    if t_grid is not None:
+        idx = jax.random.randint(t_rng, (batch,), 0, len(t_grid))
+        t = t_grid.astype(jnp.float32)[idx]
+        ab = ab_grid.astype(clean.dtype)[idx].reshape(batch, 1, 1, 1)
+    else:
+        t = jax.random.randint(t_rng, (batch,), 0, num_steps)
+        ab = alpha_bar.astype(clean.dtype)[t].reshape(batch, 1, 1, 1)
     noise = jax.random.normal(n_rng, clean.shape, clean.dtype)
     if sig_mask is not None:
         noise = noise * jnp.sqrt(sig_mask)

@@ -79,6 +79,14 @@ class ComplexDDPMTrainer(TrainerBase):
         self.sched = make_schedule(diff)
         self.alpha_bar = jnp.asarray(self.sched.alpha_bar, jnp.float32)
         self.num_steps = diff.num_steps
+        # train_t_fast extension (see DiffusionConfig): q-sample draws
+        # from the fast schedule's aligned (T, alpha_bar) pairs
+        if diff.train_t_fast:
+            inf = inference_schedule(diff, fast_sampling=True)
+            self.t_grid = jnp.asarray(inf.T, jnp.float32)
+            self.ab_grid = jnp.asarray(inf.alpha_cum, jnp.float32)
+        else:
+            self.t_grid = self.ab_grid = None
 
         cdt = (jnp.bfloat16 if self.cfg.compute_dtype in ("bfloat16", "bf16")
                else None)
@@ -230,7 +238,7 @@ class ComplexDDPMTrainer(TrainerBase):
             sig = sigma_mask(x_init) if sigma else None
             x_t, noise, t = q_sample(
                 rng, lbl, x_init, self.alpha_bar, self.num_steps,
-                self.mode, sig,
+                self.mode, sig, t_grid=self.t_grid, ab_grid=self.ab_grid,
             )
             ddpm_vars = {"params": params["ddpm"],
                          "batch_stats": state["ddpm"]["batch_stats"]}

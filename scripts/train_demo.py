@@ -89,6 +89,10 @@ def main():
                     help="checkpoint/log namespace under --assets")
     ap.add_argument("--batch", type=int, default=6)
     ap.add_argument("--report", default="docs/demo_speechlike.md")
+    ap.add_argument("--train-t-fast", action="store_true",
+                    help="framework extension: q-sample t from the fast "
+                         "inference schedule's aligned (T, alpha_bar) "
+                         "pairs (DiffusionConfig.train_t_fast)")
     ap.add_argument("--cond-noisy", action="store_true",
                     help="framework extension: DDPM conditions on "
                          "[x_init, noisy spectrum] (DiffusionConfig."
@@ -145,7 +149,8 @@ def main():
         model=ModelConfig("DiffUNet"),
         optim=OptimConfig(lr=args.lr),
         optim_ddpm=OptimConfig(lr=args.lr_ddpm),
-        diffusion=DiffusionConfig(cond_noisy=args.cond_noisy),
+        diffusion=DiffusionConfig(cond_noisy=args.cond_noisy,
+                                  train_t_fast=args.train_t_fast),
     )
     t0 = time.time()
 
@@ -264,6 +269,7 @@ def main():
                    if args.ddpm_steps else "")
                 + (", sigma-conditioned" if args.sigma else "")
                 + (", cond_noisy extension" if args.cond_noisy else "")
+                + (", train_t_fast extension" if args.train_t_fast else "")
                 + (f", prior warm-started from {args.warm_start_dis}"
                    if args.warm_start_dis else "")
                 + f", lam {args.lam:g}.\n\n")

@@ -80,6 +80,16 @@ def test_cond_noisy_extension(tmp_path, corpus):
     assert np.isfinite(cv)
 
 
+def test_train_t_fast_extension(tmp_path, corpus):
+    """train_t_fast (framework extension): one joint step runs with t
+    drawn from the fast schedule's aligned pairs."""
+    diff = DiffusionConfig(train_t_fast=True)
+    tr, total, l_dis, l_ddpm = _one_step(tmp_path, corpus, _exp(diff),
+                                         joint=True)
+    assert tr.t_grid is not None and tr.t_grid.shape == (6,)
+    assert np.isfinite(total) and l_ddpm > 0.0
+
+
 def test_cond_noisy_requires_pirorgrad(tmp_path, corpus):
     diff = DiffusionConfig(pirorgrad=False, deltamu=True, cond_noisy=True)
     with pytest.raises(ValueError, match="pirorgrad"):

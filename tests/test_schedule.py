@@ -110,6 +110,29 @@ def test_qsample_pirorgrad_formula(rng):
     np.testing.assert_allclose(np.asarray(x_t), want, atol=1e-5)
 
 
+def test_qsample_fast_t_grid(rng):
+    """train_t_fast extension: t drawn from the fast schedule's aligned
+    (T, alpha_bar) pairs, and x_t uses the paired alpha_bar."""
+    cfg = DiffusionConfig()
+    inf = inference_schedule(cfg, fast_sampling=True)
+    t_grid = jnp.asarray(inf.T, jnp.float32)
+    ab_grid = jnp.asarray(inf.alpha_cum, jnp.float32)
+    clean = jnp.asarray(rng.standard_normal((8, 7, 161, 2)).astype(np.float32))
+    x_init = jnp.zeros_like(clean)
+    key = jax.random.PRNGKey(5)
+    ab = jnp.asarray(make_schedule(cfg).alpha_bar)
+    x_t, noise, t = q_sample(key, clean, x_init, ab, 50, "pirorgrad",
+                             t_grid=t_grid, ab_grid=ab_grid)
+    t_np = np.asarray(t)
+    grid_np = np.asarray(t_grid)
+    # every drawn t is one of the 6 aligned fractional timesteps
+    idx = np.array([np.argmin(np.abs(grid_np - v)) for v in t_np])
+    np.testing.assert_allclose(t_np, grid_np[idx], rtol=1e-6)
+    ab_t = np.asarray(ab_grid)[idx].reshape(-1, 1, 1, 1)
+    want = np.sqrt(ab_t) * np.asarray(clean) + np.sqrt(1 - ab_t) * np.asarray(noise)
+    np.testing.assert_allclose(np.asarray(x_t), want, atol=1e-5)
+
+
 def test_sigma_mask_range_and_grouping(rng):
     x = jnp.asarray(rng.standard_normal((2, 7, 161, 2)).astype(np.float32))
     m = np.asarray(sigma_mask(x))
