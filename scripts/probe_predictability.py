@@ -39,6 +39,9 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--assets", default="assets/speech2k")
+    ap.add_argument("--doc", default="demo",
+                    help="checkpoint doc dir to restore the frozen prior "
+                         "from (e.g. demo_early for the 1500-step prior)")
     ap.add_argument("--batch", type=int, default=6)
     ap.add_argument("--steps", type=int, default=12000)
     ap.add_argument("--eval-every", type=int, default=1000)
@@ -69,7 +72,7 @@ def main():
         optim_ddpm=OptimConfig(lr=args.lr),
         diffusion=DiffusionConfig(),
     )
-    run = RunConfig(assets=args.assets, doc="demo",
+    run = RunConfig(assets=args.assets, doc=args.doc,
                     data_root=os.path.join(args.assets, "data"),
                     joint=False, retrain=True, sigma=args.sigma)
     print("building trainer (prior restored, frozen) ...", flush=True)
@@ -177,7 +180,10 @@ def main():
                 run_eval(step)
     final = run_eval(step)
     os.makedirs("docs", exist_ok=True)
-    out = f"docs/probe_predictability_{args.variant.replace('+', '_')}.json"
+    tag = args.variant.replace("+", "_")
+    if args.doc != "demo":
+        tag = f"{args.doc.removeprefix('demo_')}_{tag}"
+    out = f"docs/probe_predictability_{tag}.json"
     with open(out, "w") as f:
         json.dump(final, f, indent=1)
     print(f"wrote {out}", flush=True)

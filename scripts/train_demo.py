@@ -97,6 +97,9 @@ def main():
                     help="framework extension: DDPM conditions on "
                          "[x_init, noisy spectrum] (DiffusionConfig."
                          "cond_noisy)")
+    ap.add_argument("--warm-start-doc", default="demo",
+                    help="doc dir inside --warm-start-dis to copy the "
+                         "prior from (e.g. demo_early)")
     ap.add_argument("--warm-start-dis", default=None, metavar="ASSETS",
                     help="initialize the (frozen) prior from another "
                          "run's best checkpoint (assets dir, doc 'demo') "
@@ -165,7 +168,7 @@ def main():
             train=exp.train, model=exp.model, optim=exp.optim,
             optim_ddpm=exp.optim_ddpm, diffusion=DiffusionConfig(),
         )
-        src_run = RunConfig(assets=args.warm_start_dis, doc="demo",
+        src_run = RunConfig(assets=args.warm_start_dis, doc=args.warm_start_doc,
                             data_root=corpus, joint=False, retrain=True,
                             sigma=args.sigma)
         src = ComplexDDPMTrainer(src_run, src_exp)
