@@ -199,6 +199,37 @@ def main():
         {"enhance_bf16_unroll6_ms": results["enhance_bf16_unroll6_ms"]}),
         flush=True)
 
+    # optimization candidate: pad the odd spatial dims (T=301, F=161) to
+    # vector-tile-friendly multiples of 8 (304 x 168) around the model
+    # calls, crop after.  Tests whether XLA's internal padding of odd
+    # conv extents is costing anything.
+    @jax.jit
+    def full_padded(dv, pv, w, rng):
+        feat = compress_spec(stft(w), cfg.feat_type)
+        t0, f0 = feat.shape[1], feat.shape[2]
+        tp, fp = -(-t0 // 8) * 8, -(-f0 // 8) * 8
+        featp = jnp.pad(feat, ((0, 0), (0, tp - t0), (0, fp - f0), (0, 0)))
+        x_init = (dis.apply(dv, featp.astype(dt), mutable=False)
+                  .astype(dt) / jnp.asarray(diff.scale_c, dt))
+
+        def model_fn(x, t):
+            return ddpm.apply(pv, x.astype(dt), x_init, t.astype(dt),
+                              mutable=False).astype(dt)
+
+        audio = reverse_sample(model_fn, rng, x_init, x_init.shape,
+                               sched, "pirorgrad", dtype=dt)
+        audio = audio[:, :t0, :f0, :]
+        spec = decompress_spec(audio.astype(jnp.float32) * diff.scale_c,
+                               cfg.feat_type)
+        return istft(spec, length=w.shape[-1])
+
+    results["enhance_bf16_padded_ms"] = round(
+        slope(full_padded, dv, pv, w, k4) * 1e3, 2
+    )
+    print(json.dumps(
+        {"enhance_bf16_padded_ms": results["enhance_bf16_padded_ms"]}),
+        flush=True)
+
     # attempt a profiler trace (host-side at minimum)
     trace_dir = "/tmp/jax_trace_enhance"
     try:
