@@ -104,6 +104,16 @@ class DiffusionConfig:
     # sampler queries (round-3 diagnosis: the denoiser was weakest at
     # those levels, docs/diag_residual_r3.md).  Off by default.
     train_t_fast: bool = False
+    # Framework extension (no reference counterpart): average this many
+    # independent reverse chains at sampling time (vmapped inside the
+    # one sampling jit).  The reference's deterministic sampler emits a
+    # *sample* of the residual marginal, whose unpredictable component
+    # is uncorrelated noise added to the output; averaging N chains
+    # shrinks that component's energy by 1/N, approximating the
+    # posterior-mean residual.  1 = exact reference semantics.  See
+    # diffusion/sampler.py::reverse_sample and
+    # docs/residual_capability_r3.md for the derivation.
+    n_avg: int = 1
 
     @property
     def num_steps(self) -> int:

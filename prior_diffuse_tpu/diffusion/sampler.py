@@ -39,6 +39,7 @@ def reverse_sample(
     sig_mask: Optional[jnp.ndarray] = None,
     dtype=jnp.float32,
     unroll: int = 1,
+    n_avg: int = 1,
 ) -> jnp.ndarray:
     """Run the full reverse chain; returns the residual/sample estimate.
 
@@ -49,7 +50,31 @@ def reverse_sample(
 
     ``sig_mask``: PriorGrad per-bin scale; multiplies both the initial
     draw and every per-step noise by ``sqrt(mask)``.
+
+    ``n_avg`` (framework extension, no reference counterpart): average
+    ``n_avg`` independent reverse chains (vmapped — one compiled
+    computation, MXU-parallel).  The reference's deterministic sampler
+    maps the *random* initial draw to a sample of the model's residual
+    marginal; on residuals that are weakly predictable from the
+    conditioning, that sample is uncorrelated with the true residual
+    and the chain's MSE floor is ``2x`` the prior's even for a
+    perfectly-trained model (see docs/residual_capability_r3.md).
+    Averaging N chains keeps the predictable component and shrinks the
+    random component's energy by 1/N, approximating the posterior mean
+    E[residual | conditioning] — harmless when nothing is predictable,
+    and a strict improvement whenever anything is.  Default 1 preserves
+    exact reference semantics.
     """
+    if n_avg > 1:
+        # averaging commutes with the (linear) final x_init add, so each
+        # vmapped member runs the full chain including it
+        chains = jax.vmap(
+            lambda r: reverse_sample(
+                model_fn, r, x_init, shape, sched, mode, sig_mask,
+                dtype, unroll
+            )
+        )(jax.random.split(rng, n_avg))
+        return jnp.mean(chains, axis=0)
     init_rng, scan_rng = jax.random.split(rng)
     x = jax.random.normal(init_rng, shape, dtype)
     if sig_mask is not None:

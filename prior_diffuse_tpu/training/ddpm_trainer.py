@@ -307,7 +307,8 @@ class ComplexDDPMTrainer(TrainerBase):
             return eps
 
         audio = reverse_sample(
-            model_fn, rng, x_init, x_init.shape, sched, self.mode, sig
+            model_fn, rng, x_init, x_init.shape, sched, self.mode, sig,
+            n_avg=self.exp.diffusion.n_avg,
         )
         audio = audio * self.c
         loss = com_mse_loss(audio, label, frame_nums)
@@ -525,7 +526,7 @@ class ComplexDDPMTrainer(TrainerBase):
 
                 audio = reverse_sample(
                     model_fn, rng, x_init, x_init.shape, sched, self.mode,
-                    sig, dtype=dt,
+                    sig, dtype=dt, n_avg=self.exp.diffusion.n_avg,
                 )
                 spec = decompress_spec(
                     audio.astype(jnp.float32) * self.c, cfg.feat_type

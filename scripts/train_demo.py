@@ -93,6 +93,9 @@ def main():
                     help="framework extension: q-sample t from the fast "
                          "inference schedule's aligned (T, alpha_bar) "
                          "pairs (DiffusionConfig.train_t_fast)")
+    ap.add_argument("--n-avg", type=int, default=1,
+                    help="average this many reverse chains at sampling "
+                         "(posterior-mean extension; 1 = reference)")
     ap.add_argument("--cond-noisy", action="store_true",
                     help="framework extension: DDPM conditions on "
                          "[x_init, noisy spectrum] (DiffusionConfig."
@@ -153,7 +156,8 @@ def main():
         optim=OptimConfig(lr=args.lr),
         optim_ddpm=OptimConfig(lr=args.lr_ddpm),
         diffusion=DiffusionConfig(cond_noisy=args.cond_noisy,
-                                  train_t_fast=args.train_t_fast),
+                                  train_t_fast=args.train_t_fast,
+                                  n_avg=args.n_avg),
     )
     t0 = time.time()
 

@@ -161,6 +161,33 @@ def test_reverse_sampler_linear_model_closed_form(rng):
     np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5, atol=1e-5)
 
 
+def test_reverse_sampler_n_avg_is_mean_of_split_chains(rng):
+    """n_avg=N must equal the mean of N single chains run with the
+    jax.random.split(key, N) subkeys (the extension is pure averaging —
+    no other semantic change), and n_avg=1 must be bit-identical to the
+    reference-semantics path."""
+    cfg = DiffusionConfig()
+    sched = inference_schedule(cfg, fast_sampling=True)
+    x_init = jnp.asarray(rng.standard_normal((2, 5, 161, 2)).astype(np.float32))
+    key = jax.random.PRNGKey(3)
+
+    def model(x, t):
+        # t-dependent linear model so every step actually transforms x
+        return 0.1 * x + 0.01 * t[:, None, None, None]
+
+    avg = reverse_sample(model, key, x_init, x_init.shape, sched, n_avg=3)
+    singles = [
+        reverse_sample(model, k, x_init, x_init.shape, sched)
+        for k in jax.random.split(key, 3)
+    ]
+    want = np.mean(np.stack([np.asarray(s) for s in singles]), axis=0)
+    np.testing.assert_allclose(np.asarray(avg), want, rtol=1e-5, atol=1e-6)
+
+    one = reverse_sample(model, key, x_init, x_init.shape, sched, n_avg=1)
+    ref = reverse_sample(model, key, x_init, x_init.shape, sched)
+    np.testing.assert_array_equal(np.asarray(one), np.asarray(ref))
+
+
 def test_reverse_sampler_calls_model_with_aligned_T(rng):
     cfg = DiffusionConfig()
     sched = inference_schedule(cfg, fast_sampling=True)
