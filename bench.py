@@ -259,12 +259,53 @@ def bench_stft_paths(jax, jnp):
     return result
 
 
+def _tpu_preflight() -> str | None:
+    """Bounded TPU-availability check; returns an error string if the
+    axon relay is down.  The relay (a stdio port-mux the outer infra
+    spawns) can die and nothing respawns it, after which every jax op
+    either fails fast or hangs forever — a hang here would eat the
+    whole bench budget, so probe device init in a subprocess with a
+    generous timeout instead."""
+    import socket
+    import subprocess
+    import sys
+
+    try:
+        socket.create_connection(("127.0.0.1", 8103), timeout=5).close()
+    except OSError as e:
+        return f"axon relay port 8103 unreachable: {e}"
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=300, capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return "jax.devices() probe hung >300s (relay up but broken)"
+    if proc.returncode != 0:
+        return f"jax.devices() probe failed: {proc.stderr.strip()[-300:]}"
+    return None
+
+
 def main():
     # persistent compile cache: repeat runs (and the driver's run) skip
     # the multi-minute XLA compiles
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+    err = _tpu_preflight()
+    if err is not None:
+        print(json.dumps({
+            "metric": "enhance_rtf_3s_batch8_bf16",
+            "value": 0.0,
+            "unit": "x_realtime",
+            "vs_baseline": 0.0,
+            "extra": {"error": err,
+                      "note": "TPU tunnel outage — see CLAUDE.md round-3 "
+                              "learnings; last good numbers in "
+                              "BENCH_r02.json + docs/BENCH_r2_notes.md"},
+        }))
+        return
 
     import tempfile
 

@@ -114,6 +114,15 @@ class DiffusionConfig:
     # diffusion/sampler.py::reverse_sample and
     # docs/residual_capability_r3.md for the derivation.
     n_avg: int = 1
+    # Framework extension (no reference counterpart): start the reverse
+    # chain from the initial distribution's mean (zeros) instead of a
+    # random draw — the n_avg -> inf limit of an affine chain at 1x
+    # cost.  At the training optimum for a Gaussian residual this is
+    # never worse than prior-only and a strict win whenever any of the
+    # residual is predictable (derivation + caveats in
+    # diffusion/sampler.py::reverse_sample; pinned by
+    # tests/test_sampler_theory.py).  False = reference semantics.
+    zero_init: bool = False
 
     @property
     def num_steps(self) -> int:

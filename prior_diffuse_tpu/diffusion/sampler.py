@@ -40,6 +40,7 @@ def reverse_sample(
     dtype=jnp.float32,
     unroll: int = 1,
     n_avg: int = 1,
+    zero_init: bool = False,
 ) -> jnp.ndarray:
     """Run the full reverse chain; returns the residual/sample estimate.
 
@@ -57,14 +58,33 @@ def reverse_sample(
     maps the *random* initial draw to a sample of the model's residual
     marginal; on residuals that are weakly predictable from the
     conditioning, that sample is uncorrelated with the true residual
-    and the chain's MSE floor is ``2x`` the prior's even for a
-    perfectly-trained model (see docs/residual_capability_r3.md).
+    and the chain's MSE floor is ``(1+abar)x`` the prior's even for a
+    training-optimal model (``abar = prod(1-beta_inference)``; see
+    docs/residual_capability_r3.md and tests/test_sampler_theory.py).
     Averaging N chains keeps the predictable component and shrinks the
     random component's energy by 1/N, approximating the posterior mean
     E[residual | conditioning] — harmless when nothing is predictable,
     and a strict improvement whenever anything is.  Default 1 preserves
     exact reference semantics.
+
+    ``zero_init`` (framework extension, no reference counterpart):
+    start the reverse chain from the *mean* of the initial distribution
+    (zeros; ``x_init`` in deltamu mode) instead of a random draw — the
+    ``n_avg -> inf`` limit of an affine chain at 1x cost.  For the
+    training-optimal denoiser of a Gaussian residual the deterministic
+    chain is exactly affine, ``out = sqrt(abar)*x_T + (1-abar)*m``
+    (``abar = prod(1-beta_inference)``; pinned by
+    tests/test_sampler_theory.py), so zeroing ``x_T`` removes the whole
+    unpredictable component: chain MSE ``abar^2*e_m + e_u`` <= prior
+    MSE ``e_m + e_u`` for every split — never worse than prior-only at
+    the optimum, strictly better whenever anything is predictable.
+    Caveat: a *real* (non-affine, imperfectly trained) net sees an
+    off-manifold all-zeros input at the first step; n_avg stays
+    in-distribution.  Measure before preferring one (the demo harness
+    evaluates both).
     """
+    if zero_init:
+        n_avg = 1  # all chains identical once the initial draw is fixed
     if n_avg > 1:
         # averaging commutes with the (linear) final x_init add, so each
         # vmapped member runs the full chain including it
@@ -76,9 +96,12 @@ def reverse_sample(
         )(jax.random.split(rng, n_avg))
         return jnp.mean(chains, axis=0)
     init_rng, scan_rng = jax.random.split(rng)
-    x = jax.random.normal(init_rng, shape, dtype)
-    if sig_mask is not None:
-        x = x * jnp.sqrt(sig_mask)
+    if zero_init:
+        x = jnp.zeros(shape, dtype)
+    else:
+        x = jax.random.normal(init_rng, shape, dtype)
+        if sig_mask is not None:
+            x = x * jnp.sqrt(sig_mask)
     if mode == "deltamu":
         x = x + x_init
 

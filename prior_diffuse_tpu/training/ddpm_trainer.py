@@ -309,6 +309,7 @@ class ComplexDDPMTrainer(TrainerBase):
         audio = reverse_sample(
             model_fn, rng, x_init, x_init.shape, sched, self.mode, sig,
             n_avg=self.exp.diffusion.n_avg,
+            zero_init=self.exp.diffusion.zero_init,
         )
         audio = audio * self.c
         loss = com_mse_loss(audio, label, frame_nums)
@@ -527,6 +528,7 @@ class ComplexDDPMTrainer(TrainerBase):
                 audio = reverse_sample(
                     model_fn, rng, x_init, x_init.shape, sched, self.mode,
                     sig, dtype=dt, n_avg=self.exp.diffusion.n_avg,
+                    zero_init=self.exp.diffusion.zero_init,
                 )
                 spec = decompress_spec(
                     audio.astype(jnp.float32) * self.c, cfg.feat_type

@@ -96,6 +96,10 @@ def main():
     ap.add_argument("--n-avg", type=int, default=1,
                     help="average this many reverse chains at sampling "
                          "(posterior-mean extension; 1 = reference)")
+    ap.add_argument("--zero-init", action="store_true",
+                    help="start the reverse chain from zeros (posterior-"
+                         "mean shortcut, the n_avg->inf limit of an "
+                         "affine chain; DiffusionConfig.zero_init)")
     ap.add_argument("--cond-noisy", action="store_true",
                     help="framework extension: DDPM conditions on "
                          "[x_init, noisy spectrum] (DiffusionConfig."
@@ -157,7 +161,8 @@ def main():
         optim_ddpm=OptimConfig(lr=args.lr_ddpm),
         diffusion=DiffusionConfig(cond_noisy=args.cond_noisy,
                                   train_t_fast=args.train_t_fast,
-                                  n_avg=args.n_avg),
+                                  n_avg=args.n_avg,
+                                  zero_init=args.zero_init),
     )
     t0 = time.time()
 

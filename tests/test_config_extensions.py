@@ -11,15 +11,18 @@ def test_yaml_defaults_are_reference_semantics():
     assert d.cond_noisy is False
     assert d.train_t_fast is False
     assert d.n_avg == 1
+    assert d.zero_init is False
     assert d.scale_c == 11.0
     assert d.gamma0_override == 0.2
 
 
 def test_yaml_routes_extension_knobs():
     exp = experiment_from_dict(
-        {"diffusion": {"n_avg": 8, "cond_noisy": True, "train_t_fast": True}}
+        {"diffusion": {"n_avg": 8, "cond_noisy": True, "train_t_fast": True,
+                       "zero_init": True}}
     )
     assert exp.diffusion.n_avg == 8
+    assert exp.diffusion.zero_init is True
     assert exp.diffusion.cond_noisy is True
     assert exp.diffusion.train_t_fast is True
     # untouched knobs keep reference values

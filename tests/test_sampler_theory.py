@@ -1,0 +1,149 @@
+"""Sampling-semantics theory, pinned to the *actual* sampler.
+
+For a Gaussian residual ``r | cond ~ N(m, I)`` the eps-prediction
+training optimum (minimizer of the reference's DDPM objective,
+``trainer/complex_ddpm_trainer.py:707-733``) is available in closed
+form:
+
+    eps*(x_n, n) = sqrt(1 - abar_n) * (x_n - sqrt(abar_n) * m)
+
+With the deterministic reverse chain the reference actually runs
+(``new_sigma == 0``, SURVEY 2.9) every update becomes affine and the
+whole chain telescopes exactly:
+
+    out = sqrt(abar) * x_T + (1 - abar) * m,   abar = alpha_cum[-1]
+
+(update x' = c1*(x - c2*eps*) = sqrt(alpha_n)*x + beta_n/sqrt(alpha_n)
+ * sqrt(abar_n)*m; the x-coefficients multiply to sqrt(abar) and the
+ m-coefficients telescope as sum(beta_n * abar_{n-1}) = 1 - abar.)
+
+These tests pin that law and the capability-study corollaries
+(docs/residual_capability_r3.md): with e_m = predictable residual
+energy and e_u = 1 unpredictable,
+
+    prior MSE              =  e_m + 1
+    chain  (reference)     =  abar^2*e_m + abar + 1
+    chain  (n_avg = N)     =  abar^2*e_m + abar/N + 1
+    chain  (zero_init)     =  abar^2*e_m + 1   <=  prior MSE always
+
+so at the training optimum the reference's sample semantics only wins
+when e_m > abar/(1-abar^2) (~0.44 for the default fast schedule), the
+n_avg extension shrinks the random penalty by 1/N, and the zero_init
+extension is never worse than prior-only.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from prior_diffuse_tpu.config import DiffusionConfig
+from prior_diffuse_tpu.diffusion import inference_schedule, reverse_sample
+
+SCHED = inference_schedule(DiffusionConfig(), fast_sampling=True)
+ABAR = float(SCHED.alpha_cum[-1])
+A = np.sqrt(ABAR)  # coefficient on the initial draw x_T
+B = 1.0 - ABAR  # coefficient on the predictable mean m
+
+
+def optimal_model(m):
+    """Closed-form training optimum for r ~ N(m, I) (eps prediction)."""
+    t_grid = jnp.asarray(SCHED.T, jnp.float32)
+    ac_grid = jnp.asarray(SCHED.alpha_cum, jnp.float32)
+
+    def model_fn(x, t_vec):
+        n = jnp.argmin(jnp.abs(t_grid - t_vec[0]))
+        ac = ac_grid[n]
+        return jnp.sqrt(1.0 - ac) * (x - jnp.sqrt(ac) * m)
+
+    return model_fn
+
+
+def test_affine_coefficients_telescope():
+    """The host-side recursion over the schedule constants reproduces
+    the closed forms A = sqrt(abar), B = 1 - abar."""
+    a_coef, b_coef = 1.0, 0.0
+    for n in range(SCHED.num_steps - 1, -1, -1):
+        a_n = SCHED.c1[n] * (1.0 - SCHED.beta[n])
+        b_n = SCHED.c1[n] * SCHED.beta[n] * np.sqrt(SCHED.alpha_cum[n])
+        a_coef, b_coef = a_n * a_coef, a_n * b_coef + b_n
+    assert a_coef == pytest.approx(A, rel=1e-12)
+    assert b_coef == pytest.approx(B, rel=1e-12)
+
+
+def test_optimal_chain_is_affine_in_xT_and_m():
+    key = jax.random.PRNGKey(0)
+    shape = (4, 8, 8, 2)
+    m = jax.random.normal(jax.random.PRNGKey(1), shape)
+    out = reverse_sample(optimal_model(m), key, None, shape, SCHED,
+                         mode="conditional")
+    # replicate the sampler's initial draw (sampler.py: split, normal)
+    init_rng, _ = jax.random.split(key)
+    x_t = jax.random.normal(init_rng, shape)
+    expect = A * x_t + B * m
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               atol=2e-5)
+
+
+def test_zero_init_emits_scaled_mean_exactly():
+    shape = (2, 8, 8, 2)
+    m = jax.random.normal(jax.random.PRNGKey(2), shape)
+    out = reverse_sample(optimal_model(m), jax.random.PRNGKey(0), None,
+                         shape, SCHED, mode="conditional", zero_init=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(B * m),
+                               atol=2e-5)
+    # and n_avg is irrelevant once the initial draw is fixed
+    out8 = reverse_sample(optimal_model(m), jax.random.PRNGKey(0), None,
+                          shape, SCHED, mode="conditional", zero_init=True,
+                          n_avg=8)
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(out), atol=0)
+
+
+def _mses(e_m, key, n_avg=1, zero_init=False, n=16384):
+    """Monte-Carlo prior/chain MSE for r = m + u, m~N(0,e_m), u~N(0,1)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    shape = (n,)
+    m = jnp.sqrt(e_m) * jax.random.normal(k1, shape)
+    u = jax.random.normal(k2, shape)
+    r = m + u
+    out = reverse_sample(optimal_model(m), k3, None, shape, SCHED,
+                         mode="conditional", n_avg=n_avg,
+                         zero_init=zero_init)
+    prior_mse = float(jnp.mean(r**2))  # prior leaves the whole residual
+    chain_mse = float(jnp.mean((out - r) ** 2))
+    return prior_mse, chain_mse
+
+
+def test_reference_semantics_mse_floor_when_unpredictable():
+    """e_m = 0: chain MSE = (1 + abar) x prior MSE — the deterministic
+    sample chain is structurally harmful on unpredictable residuals."""
+    prior, chain = _mses(0.0, jax.random.PRNGKey(3))
+    assert chain / prior == pytest.approx(1.0 + ABAR, rel=0.05)
+    assert chain > prior * 1.25
+
+
+def test_reference_semantics_win_requires_predictability():
+    # e_m = 1 > abar/(1-abar^2) ~ 0.44: the chain must win
+    prior, chain = _mses(1.0, jax.random.PRNGKey(4))
+    assert chain == pytest.approx(ABAR**2 + ABAR + 1.0, rel=0.05)
+    assert chain < prior
+    # e_m = 0.2 < 0.44: the chain must lose even at the optimum
+    prior, chain = _mses(0.2, jax.random.PRNGKey(5))
+    assert chain == pytest.approx(ABAR**2 * 0.2 + ABAR + 1.0, rel=0.05)
+    assert chain > prior
+
+
+def test_n_avg_shrinks_the_random_penalty():
+    prior, chain = _mses(0.0, jax.random.PRNGKey(6), n_avg=8)
+    assert chain == pytest.approx(1.0 + ABAR / 8, rel=0.05)
+    assert chain < prior * 1.10  # near-harmless where n_avg=1 pays 1.376x
+
+
+def test_zero_init_never_worse_than_prior():
+    for e_m, key in [(0.0, 7), (0.2, 8), (1.0, 9)]:
+        prior, chain = _mses(e_m, jax.random.PRNGKey(key), zero_init=True)
+        assert chain == pytest.approx(ABAR**2 * e_m + 1.0, rel=0.05)
+        assert chain <= prior * 1.02
+    # and where reference semantics loses (e_m = 0.2), zero_init wins
+    prior, chain = _mses(0.2, jax.random.PRNGKey(10), zero_init=True)
+    assert chain < prior
