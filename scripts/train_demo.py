@@ -282,6 +282,10 @@ def main():
                 + (", sigma-conditioned" if args.sigma else "")
                 + (", cond_noisy extension" if args.cond_noisy else "")
                 + (", train_t_fast extension" if args.train_t_fast else "")
+                + (f", n_avg={args.n_avg} posterior-mean sampling"
+                   if args.n_avg > 1 else "")
+                + (", zero_init posterior-mean sampling"
+                   if args.zero_init else "")
                 + (f", prior warm-started from {args.warm_start_dis}"
                    if args.warm_start_dis else "")
                 + f", lam {args.lam:g}.\n\n")
