@@ -28,10 +28,23 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 CHUNK = 48000
 N1, N2 = 1, 6
+BATCHES = (1, 2, 4, 8, 12, 16, 24, 32)
+OUT = "docs/PERF_r3.json"
+
+# smoke mode: tiny shapes on CPU to validate the harness end-to-end
+# before spending hours of chip time on it (the real run is queued
+# behind the TPU tunnel): PDT_PROFILE_SMOKE=1 python scripts/profile_breakdown.py
+if os.environ.get("PDT_PROFILE_SMOKE"):
+    CHUNK = 8000
+    BATCHES = (1, 2)
+    OUT = "/tmp/PERF_smoke.json"
 
 
 def main():
     import jax
+
+    if os.environ.get("PDT_PROFILE_SMOKE"):
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from prior_diffuse_tpu.config import DiffusionConfig, TrainConfig
@@ -104,10 +117,10 @@ def main():
                                   sched, "pirorgrad", dtype=dt)
 
         @jax.jit
-        def stage_istft(spec, n):
+        def stage_istft(spec):
             return istft(decompress_spec(spec.astype(jnp.float32)
                                          * diff.scale_c, cfg.feat_type),
-                         length=n)
+                         length=CHUNK)
 
         @jax.jit
         def full(dv, pv, w, rng):
@@ -136,7 +149,7 @@ def main():
         r["ddpm_single_call_ms"] = slope(stage_one_ddpm, pv, x_init,
                                          x_init, tvec) * 1e3
         r["sampler_6step_ms"] = slope(stage_sampler, pv, x_init, k4) * 1e3
-        r["istft_ms"] = slope(stage_istft, x_init, CHUNK) * 1e3
+        r["istft_ms"] = slope(stage_istft, x_init) * 1e3
         r["parts_sum_ms"] = (r["stft_compress_ms"] + r["prior_ms"]
                              + r["sampler_6step_ms"] + r["istft_ms"])
         r["scan_overhead_ms"] = (r["sampler_6step_ms"]
@@ -167,7 +180,7 @@ def main():
         return istft(spec, length=w.shape[-1])
 
     sweep = {}
-    for b in (1, 2, 4, 8, 12, 16, 24, 32):
+    for b in BATCHES:
         w = jax.random.normal(k3, (b, CHUNK)) * 0.1
         ms = slope(full_b, dv, pv, w, k4) * 1e3
         sweep[b] = {"ms": round(ms, 2), "ms_per_utt": round(ms / b, 2)}
@@ -192,23 +205,28 @@ def main():
         return istft(spec, length=w.shape[-1])
 
     w = jax.random.normal(k3, (8, CHUNK)) * 0.1
-    results["enhance_bf16_unroll6_ms"] = round(
-        slope(full_unrolled, dv, pv, w, k4) * 1e3, 2
-    )
+    try:
+        results["enhance_bf16_unroll6_ms"] = round(
+            slope(full_unrolled, dv, pv, w, k4) * 1e3, 2
+        )
+    except Exception as e:  # a failed candidate is a finding, not a crash
+        results["enhance_bf16_unroll6_ms"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(
         {"enhance_bf16_unroll6_ms": results["enhance_bf16_unroll6_ms"]}),
         flush=True)
 
-    # optimization candidate: pad the odd spatial dims (T=301, F=161) to
-    # vector-tile-friendly multiples of 8 (304 x 168) around the model
-    # calls, crop after.  Tests whether XLA's internal padding of odd
-    # conv extents is costing anything.
+    # optimization candidate: pad the odd TIME extent (T=301 -> 304)
+    # to a vector-tile-friendly multiple of 8 around the model calls,
+    # crop after.  F (161) cannot be padded: the reference UNet's
+    # encoder/decoder skip shapes are parity-locked to the exact
+    # frequency extent (measured — an F-pad fails shape checking), so
+    # XLA's internal padding is the only option on that axis.
     @jax.jit
     def full_padded(dv, pv, w, rng):
         feat = compress_spec(stft(w), cfg.feat_type)
         t0, f0 = feat.shape[1], feat.shape[2]
-        tp, fp = -(-t0 // 8) * 8, -(-f0 // 8) * 8
-        featp = jnp.pad(feat, ((0, 0), (0, tp - t0), (0, fp - f0), (0, 0)))
+        tp = -(-t0 // 8) * 8
+        featp = jnp.pad(feat, ((0, 0), (0, tp - t0), (0, 0), (0, 0)))
         x_init = (dis.apply(dv, featp.astype(dt), mutable=False)
                   .astype(dt) / jnp.asarray(diff.scale_c, dt))
 
@@ -223,9 +241,15 @@ def main():
                                cfg.feat_type)
         return istft(spec, length=w.shape[-1])
 
-    results["enhance_bf16_padded_ms"] = round(
-        slope(full_padded, dv, pv, w, k4) * 1e3, 2
-    )
+    try:
+        results["enhance_bf16_padded_ms"] = round(
+            slope(full_padded, dv, pv, w, k4) * 1e3, 2
+        )
+    except Exception as e:
+        # Known to fail for pad targets that break the reference UNet's
+        # parity-locked encoder/decoder skip shapes — recording the
+        # incompatibility is itself the measurement.
+        results["enhance_bf16_padded_ms"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(
         {"enhance_bf16_padded_ms": results["enhance_bf16_padded_ms"]}),
         flush=True)
@@ -244,9 +268,10 @@ def main():
         results["profiler_trace"] = {"error": f"{type(e).__name__}: {e}"[:200]}
 
     os.makedirs("docs", exist_ok=True)
-    with open("docs/PERF_r3.json", "w") as f:
+    os.makedirs(os.path.dirname(OUT) or ".", exist_ok=True)
+    with open(OUT, "w") as f:
         json.dump(results, f, indent=1)
-    print("wrote docs/PERF_r3.json", flush=True)
+    print(f"wrote {OUT}", flush=True)
 
 
 if __name__ == "__main__":
