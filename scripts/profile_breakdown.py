@@ -254,6 +254,37 @@ def main():
         {"enhance_bf16_padded_ms": results["enhance_bf16_padded_ms"]}),
         flush=True)
 
+    # posterior-mean sampling extensions: what do they cost at serving?
+    # (n_avg vmaps N whole chains; zero_init replaces the initial draw)
+    def full_pm(n_avg, zero_init):
+        @jax.jit
+        def impl(dv, pv, w, rng):
+            feat = compress_spec(stft(w), cfg.feat_type)
+            x_init = (dis.apply(dv, feat.astype(dt), mutable=False)
+                      .astype(dt) / jnp.asarray(diff.scale_c, dt))
+
+            def model_fn(x, t):
+                return ddpm.apply(pv, x.astype(dt), x_init, t.astype(dt),
+                                  mutable=False).astype(dt)
+
+            audio = reverse_sample(model_fn, rng, x_init, x_init.shape,
+                                   sched, "pirorgrad", dtype=dt,
+                                   n_avg=n_avg, zero_init=zero_init)
+            spec = decompress_spec(audio.astype(jnp.float32) * diff.scale_c,
+                                   cfg.feat_type)
+            return istft(spec, length=w.shape[-1])
+
+        return impl
+
+    for key_name, kwargs in [("enhance_bf16_navg8_ms", dict(n_avg=8, zero_init=False)),
+                             ("enhance_bf16_zeroinit_ms", dict(n_avg=1, zero_init=True))]:
+        try:
+            results[key_name] = round(
+                slope(full_pm(**kwargs), dv, pv, w, k4) * 1e3, 2)
+        except Exception as e:
+            results[key_name] = f"{type(e).__name__}: {e}"[:200]
+        print(json.dumps({key_name: results[key_name]}), flush=True)
+
     # attempt a profiler trace (host-side at minimum)
     trace_dir = "/tmp/jax_trace_enhance"
     try:

@@ -99,6 +99,20 @@ def test_zero_init_emits_scaled_mean_exactly():
     np.testing.assert_allclose(np.asarray(out8), np.asarray(out), atol=0)
 
 
+def test_zero_init_deltamu_starts_at_x_init():
+    """deltamu mode draws x_T ~ N(x_init, I); zero_init collapses that
+    to exactly x_init (the mean), keeping the mode's no-final-add
+    semantics."""
+    shape = (2, 8, 8, 2)
+    x_init = jax.random.normal(jax.random.PRNGKey(11), shape)
+    m = jnp.zeros(shape)
+    out = reverse_sample(optimal_model(m), jax.random.PRNGKey(0), x_init,
+                         shape, SCHED, mode="deltamu", zero_init=True)
+    # affine law with x_T := x_init and m = 0: out = A * x_init
+    np.testing.assert_allclose(np.asarray(out), A * np.asarray(x_init),
+                               atol=2e-5)
+
+
 def _mses(e_m, key, n_avg=1, zero_init=False, n=16384):
     """Monte-Carlo prior/chain MSE for r = m + u, m~N(0,e_m), u~N(0,1)."""
     k1, k2, k3 = jax.random.split(key, 3)
