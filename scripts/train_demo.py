@@ -126,9 +126,19 @@ def main():
     ap.add_argument("--lr-ddpm", type=float, default=2e-4)
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 mixed-precision model compute")
+    ap.add_argument("--chunk", type=int, default=48000,
+                    help="training chunk length in samples (reference: "
+                         "48000; smaller for CPU-feasible runs)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (tunnel-outage fallback; "
+                         "sitecustomize pins axon so the env var alone "
+                         "does not work)")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
     from prior_diffuse_tpu.config import (
@@ -152,7 +162,7 @@ def main():
 
     exp = ExperimentConfig(
         train=TrainConfig(batch_size=args.batch, n_epochs=1,
-                          loss="com_mse_loss", chunk_length=48000,
+                          loss="com_mse_loss", chunk_length=args.chunk,
                           lam=args.lam,
                           compute_dtype="bfloat16" if args.bf16
                           else "float32"),
