@@ -49,9 +49,19 @@ def main():
     ap.add_argument("--sigma", action="store_true")
     ap.add_argument("--variant", choices=["cond", "cond+noisy"],
                     default="cond")
+    ap.add_argument("--out", default=None,
+                    help="override the output JSON path (default: "
+                         "docs/probe_predictability_<doc>_<variant>.json)")
+    ap.add_argument("--chunk", type=int, default=48000,
+                    help="chunk length (match the checkpoint's run)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (tunnel-outage fallback)")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
     import optax
@@ -66,7 +76,7 @@ def main():
 
     exp = ExperimentConfig(
         train=TrainConfig(batch_size=args.batch, n_epochs=1,
-                          loss="com_mse_loss", chunk_length=48000),
+                          loss="com_mse_loss", chunk_length=args.chunk),
         model=ModelConfig("DiffUNet"),
         optim=OptimConfig(lr=5e-4),
         optim_ddpm=OptimConfig(lr=args.lr),
@@ -183,7 +193,7 @@ def main():
     tag = args.variant.replace("+", "_")
     if args.doc != "demo":
         tag = f"{args.doc.removeprefix('demo_')}_{tag}"
-    out = f"docs/probe_predictability_{tag}.json"
+    out = args.out or f"docs/probe_predictability_{tag}.json"
     with open(out, "w") as f:
         json.dump(final, f, indent=1)
     print(f"wrote {out}", flush=True)
