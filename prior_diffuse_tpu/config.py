@@ -119,9 +119,11 @@ class DiffusionConfig:
     # random draw — the n_avg -> inf limit of an affine chain at 1x
     # cost.  At the training optimum for a Gaussian residual this is
     # never worse than prior-only and a strict win whenever any of the
-    # residual is predictable (derivation + caveats in
-    # diffusion/sampler.py::reverse_sample; pinned by
-    # tests/test_sampler_theory.py).  False = reference semantics.
+    # residual is predictable (pinned by tests/test_sampler_theory.py)
+    # — but real non-affine nets see an off-manifold zeros input and
+    # can emit junk (measured: residual_capability_r3.md E8); prefer
+    # n_avg unless near the affine optimum.  False = reference
+    # semantics.
     zero_init: bool = False
 
     @property

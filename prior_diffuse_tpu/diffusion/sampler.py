@@ -78,10 +78,13 @@ def reverse_sample(
     unpredictable component: chain MSE ``abar^2*e_m + e_u`` <= prior
     MSE ``e_m + e_u`` for every split — never worse than prior-only at
     the optimum, strictly better whenever anything is predictable.
-    Caveat: a *real* (non-affine, imperfectly trained) net sees an
-    off-manifold all-zeros input at the first step; n_avg stays
-    in-distribution.  Measure before preferring one (the demo harness
-    evaluates both).
+    Caveat (measured, docs/residual_capability_r3.md E8): a *real*
+    non-affine net sees an off-manifold all-zeros input at the first
+    step and can emit junk — on the CPU mini demo zero_init scored
+    approx-PESQ 1.28 vs 1.84 for the sample chain and 1.87 prior-only,
+    while n_avg=8 (which stays in-distribution) was the best chain
+    variant.  Prefer ``n_avg`` unless the denoiser is known to be
+    near its affine optimum.
     """
     if zero_init:
         n_avg = 1  # all chains identical once the initial draw is fixed
