@@ -125,6 +125,25 @@ class DiffusionConfig:
     # n_avg unless near the affine optimum.  False = reference
     # semantics.
     zero_init: bool = False
+    # Framework extension (no reference counterpart): network output
+    # parameterization.  "eps" (reference semantics,
+    # trainer/complex_ddpm_trainer.py:733) regresses the mixed-in noise;
+    # "x0" regresses the clean-side target directly (the residual
+    # label/c - x_init in pirorgrad mode, label/c in conditional mode)
+    # and the sampler converts to eps via
+    # eps = (x_t - sqrt(ab)*x0_hat) / sqrt(1 - ab) at each queried step.
+    # At the training optimum the two define the *same* chain (pinned by
+    # tests/test_sampler_theory.py), but their finite-training behavior
+    # differs: the conditionally-predictable residual component enters
+    # the eps target scaled by sqrt(ab)/sqrt(1-ab) — ~0.07 at the fast
+    # schedule's first (highest-noise) step — while it enters the x0
+    # target at full strength at every noise level.  Round-3 measurement
+    # (docs/residual_capability_r3.md E8): a supervised regressor
+    # recovers residual structure (val cos 0.23) that the eps-trained
+    # chain never emits (cos ~ 0); "x0" closes that transfer gap.
+    # Not supported in deltamu mode (its state mixes x_init into the
+    # noise term, so there is no clean x0 target).
+    predict: str = "eps"
 
     @property
     def num_steps(self) -> int:

@@ -41,6 +41,7 @@ def reverse_sample(
     unroll: int = 1,
     n_avg: int = 1,
     zero_init: bool = False,
+    predict: str = "eps",
 ) -> jnp.ndarray:
     """Run the full reverse chain; returns the residual/sample estimate.
 
@@ -85,7 +86,19 @@ def reverse_sample(
     while n_avg=8 (which stays in-distribution) was the best chain
     variant.  Prefer ``n_avg`` unless the denoiser is known to be
     near its affine optimum.
+
+    ``predict`` (framework extension, no reference counterpart):
+    ``"eps"`` treats ``model_fn``'s output as the predicted noise
+    (reference semantics, ``trainer/complex_ddpm_trainer.py:479``);
+    ``"x0"`` treats it as a direct prediction of the chain's clean-side
+    target and converts per step with
+    ``eps = (x_t - sqrt(ab_n) * x0_hat) / sqrt(1 - ab_n)`` using the
+    inference schedule's own ``alpha_cum`` (the same constants the
+    update's ``c2`` is built from), leaving the update identical.  See
+    ``DiffusionConfig.predict`` for when this matters.
     """
+    if predict not in ("eps", "x0"):
+        raise ValueError(f"unknown predict parameterization {predict!r}")
     if zero_init:
         n_avg = 1  # all chains identical once the initial draw is fixed
     if n_avg > 1:
@@ -94,7 +107,7 @@ def reverse_sample(
         chains = jax.vmap(
             lambda r: reverse_sample(
                 model_fn, r, x_init, shape, sched, mode, sig_mask,
-                dtype, unroll
+                dtype, unroll, predict=predict
             )
         )(jax.random.split(rng, n_avg))
         return jnp.mean(chains, axis=0)
@@ -122,6 +135,11 @@ def reverse_sample(
         "c2": jnp.asarray(sched.c2, dtype)[order],
         "T": jnp.asarray(sched.T, dtype)[order],
     }
+    if predict == "x0":
+        consts["sqrt_ab"] = jnp.sqrt(jnp.asarray(sched.alpha_cum, dtype))[order]
+        consts["rsqrt_1mab"] = (
+            1.0 / jnp.sqrt(1.0 - jnp.asarray(sched.alpha_cum, dtype))
+        )[order]
     if not noiseless:
         consts.update({
             "new_sigma": jnp.asarray(sched.new_sigma, dtype)[order],
@@ -131,7 +149,11 @@ def reverse_sample(
 
     def step(x, c):
         t_vec = jnp.full((batch,), c["T"], dtype)
-        eps = model_fn(x, t_vec)
+        out = model_fn(x, t_vec)
+        if predict == "x0":
+            eps = (x - c["sqrt_ab"] * out) * c["rsqrt_1mab"]
+        else:
+            eps = out
         x = c["c1"] * (x - c["c2"] * eps)
         if not noiseless:
             noise = jax.random.normal(c["rngs"], shape, dtype)

@@ -75,6 +75,14 @@ class ComplexDDPMTrainer(TrainerBase):
         if diff.cond_noisy and self.mode != "pirorgrad":
             raise ValueError("cond_noisy requires pirorgrad mode")
         self.cond_noisy = bool(diff.cond_noisy)
+        # predict="x0" extension (see DiffusionConfig): the net regresses
+        # the clean-side target instead of the noise; deltamu has no
+        # clean x0 target (its noise term mixes in x_init, qsample.py)
+        if diff.predict not in ("eps", "x0"):
+            raise ValueError(f"unknown predict {diff.predict!r}")
+        if diff.predict == "x0" and self.mode == "deltamu":
+            raise ValueError("predict='x0' is unsupported in deltamu mode")
+        self.predict = diff.predict
         self.c = diff.scale_c
         self.sched = make_schedule(diff)
         self.alpha_bar = jnp.asarray(self.sched.alpha_bar, jnp.float32)
@@ -243,14 +251,22 @@ class ComplexDDPMTrainer(TrainerBase):
             ddpm_vars = {"params": params["ddpm"],
                          "batch_stats": state["ddpm"]["batch_stats"]}
             cond = self._cond(feat / self.c, x_init)
-            eps, new_ddpm_stats = self._ddpm_apply(
+            pred, new_ddpm_stats = self._ddpm_apply(
                 ddpm_vars, x_t, cond, t, train=True
             )
-            eps = eps.astype(jnp.float32)
-            if sigma:
-                loss_ddpm = com_mse_sigma_loss(eps, noise, frame_nums, sig)
+            pred = pred.astype(jnp.float32)
+            if self.predict == "x0":
+                # regression target is the chain's clean-side quantity:
+                # the residual in pirorgrad mode (what the sampler adds
+                # back onto x_init), the clean spectrum in conditional
+                # mode.  Same sigma-weighting as the eps objective.
+                target = lbl - x_init if self.mode == "pirorgrad" else lbl
             else:
-                loss_ddpm = self.loss_fn(eps, noise, frame_nums)
+                target = noise
+            if sigma:
+                loss_ddpm = com_mse_sigma_loss(pred, target, frame_nums, sig)
+            else:
+                loss_ddpm = self.loss_fn(pred, target, frame_nums)
             total = cfg.lam * loss_ddpm + loss_dis
             return total, (loss_dis, loss_ddpm, new_dis_stats, new_ddpm_stats)
 
@@ -310,6 +326,7 @@ class ComplexDDPMTrainer(TrainerBase):
             model_fn, rng, x_init, x_init.shape, sched, self.mode, sig,
             n_avg=self.exp.diffusion.n_avg,
             zero_init=self.exp.diffusion.zero_init,
+            predict=self.predict,
         )
         audio = audio * self.c
         loss = com_mse_loss(audio, label, frame_nums)
@@ -529,6 +546,7 @@ class ComplexDDPMTrainer(TrainerBase):
                     model_fn, rng, x_init, x_init.shape, sched, self.mode,
                     sig, dtype=dt, n_avg=self.exp.diffusion.n_avg,
                     zero_init=self.exp.diffusion.zero_init,
+                    predict=self.predict,
                 )
                 spec = decompress_spec(
                     audio.astype(jnp.float32) * self.c, cfg.feat_type

@@ -72,6 +72,14 @@ def run_stage(tr, until, args, t0):
                 tr.ckpt.save_best(payload)
                 tr.ckpt.save_epoch(tr.epoch, payload)  # resumable
                 tr.epoch += 1
+                if args.deadline and time.time() > args.deadline:
+                    # clean exit between steps (never kill an axon client
+                    # mid-RPC: that has taken the tunnel down before —
+                    # CLAUDE.md round-3 learnings); the run is resumable
+                    # from the checkpoint just saved
+                    raise SystemExit(
+                        f"deadline reached at step {tr.step}; checkpointed"
+                    )
     payload = tr.ckpt_payload()
     tr.ckpt.save_best(payload)
     tr.ckpt.save_epoch(tr.epoch, payload)
@@ -104,6 +112,11 @@ def main():
                     help="framework extension: DDPM conditions on "
                          "[x_init, noisy spectrum] (DiffusionConfig."
                          "cond_noisy)")
+    ap.add_argument("--predict-x0", action="store_true",
+                    help="framework extension: DDPM regresses the "
+                         "residual directly instead of the noise; the "
+                         "sampler converts per step "
+                         "(DiffusionConfig.predict='x0')")
     ap.add_argument("--warm-start-doc", default="demo",
                     help="doc dir inside --warm-start-dis to copy the "
                          "prior from (e.g. demo_early)")
@@ -112,6 +125,9 @@ def main():
                          "run's best checkpoint (assets dir, doc 'demo') "
                          "instead of training stage A")
     ap.add_argument("--ckpt-every", type=int, default=2000)
+    ap.add_argument("--deadline", type=float, default=0,
+                    help="unix epoch seconds; exit cleanly (resumable) at "
+                         "the first checkpoint boundary past this time")
     ap.add_argument("--eval-every", type=int, default=0,
                     help="full sampling eval + residual diag cadence (0=off)")
     ap.add_argument("--log-every", type=int, default=50)
@@ -172,7 +188,9 @@ def main():
         diffusion=DiffusionConfig(cond_noisy=args.cond_noisy,
                                   train_t_fast=args.train_t_fast,
                                   n_avg=args.n_avg,
-                                  zero_init=args.zero_init),
+                                  zero_init=args.zero_init,
+                                  predict="x0" if args.predict_x0
+                                  else "eps"),
     )
     t0 = time.time()
 
@@ -296,6 +314,8 @@ def main():
                    if args.n_avg > 1 else "")
                 + (", zero_init posterior-mean sampling"
                    if args.zero_init else "")
+                + (", predict=x0 parameterization"
+                   if args.predict_x0 else "")
                 + (f", prior warm-started from {args.warm_start_dis}"
                    if args.warm_start_dis else "")
                 + f", lam {args.lam:g}.\n\n")

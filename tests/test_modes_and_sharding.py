@@ -96,6 +96,25 @@ def test_cond_noisy_requires_pirorgrad(tmp_path, corpus):
         _one_step(tmp_path, corpus, _exp(diff))
 
 
+def test_predict_x0_extension(tmp_path, corpus):
+    """predict='x0' (framework extension): the DDPM regresses the
+    residual directly; train + sigma-weighted loss + sampling eval run
+    end to end and the sampler applies the per-step conversion."""
+    diff = DiffusionConfig(predict="x0")
+    tr, total, l_dis, l_ddpm = _one_step(tmp_path, corpus, _exp(diff),
+                                         joint=True, sigma=True)
+    assert tr.predict == "x0"
+    assert np.isfinite(total) and l_ddpm > 0.0
+    cv = tr.evaluate()
+    assert np.isfinite(cv)
+
+
+def test_predict_x0_rejects_deltamu(tmp_path, corpus):
+    diff = DiffusionConfig(pirorgrad=False, deltamu=True, predict="x0")
+    with pytest.raises(ValueError, match="deltamu"):
+        _one_step(tmp_path, corpus, _exp(diff))
+
+
 def test_non_joint_freezes_dis(tmp_path, corpus):
     from prior_diffuse_tpu.training import ComplexDDPMTrainer
 

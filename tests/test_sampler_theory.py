@@ -30,6 +30,26 @@ so at the training optimum the reference's sample semantics only wins
 when e_m > abar/(1-abar^2) (~0.44 for the default fast schedule), the
 n_avg extension shrinks the random penalty by 1/N, and the zero_init
 extension is never worse than prior-only.
+
+The ``predict="x0"`` parameterization adds a second exact law.  Its
+per-step conversion ``eps = (x - sqrt(ab)*x0_hat)/sqrt(1 - ab)`` makes
+the chain *identical* to the eps chain whenever the two nets are
+inverses of each other (in particular at the shared training optimum).
+But for a net that ignores ``x_t`` and emits a constant ``x0_hat = m``
+— the conditional mean, i.e. exactly what the supervised
+predictability probe learns, and the natural mean-collapsed state of an
+under-trained conditional net — the chain telescopes to
+
+    out = 0 * x_T + 1 * m        (exactly)
+
+because the final (lowest-noise) step has ``1 - abar_0 = beta_0``, so
+its x-coefficient ``c1*(1 - beta/(1 - abar))`` vanishes identically and
+the step just emits ``x0_hat``.  A mean-collapsed x0 net therefore
+yields the exact posterior-mean residual — chain MSE = e_u <= prior MSE
+= e_m + e_u for every split, with no random-draw penalty, no n_avg
+averaging, and no off-manifold zero_init input needed.  This is the law
+that lets probe-level predictability (docs/residual_capability_r3.md
+E8: val cos 0.23 that the eps chain never transfers) reach the output.
 """
 
 import jax
@@ -161,3 +181,69 @@ def test_zero_init_never_worse_than_prior():
     # and where reference semantics loses (e_m = 0.2), zero_init wins
     prior, chain = _mses(0.2, jax.random.PRNGKey(10), zero_init=True)
     assert chain < prior
+
+
+def optimal_model_x0(m):
+    """The x0-parameterized twin of :func:`optimal_model` — its exact
+    inverse under the sampler's conversion, so the chains must match."""
+    t_grid = jnp.asarray(SCHED.T, jnp.float32)
+    ac_grid = jnp.asarray(SCHED.alpha_cum, jnp.float32)
+    eps_fn = optimal_model(m)
+
+    def model_fn(x, t_vec):
+        n = jnp.argmin(jnp.abs(t_grid - t_vec[0]))
+        ac = ac_grid[n]
+        return (x - jnp.sqrt(1.0 - ac) * eps_fn(x, t_vec)) / jnp.sqrt(ac)
+
+    return model_fn
+
+
+def test_x0_chain_equals_eps_chain_at_the_optimum():
+    """predict='x0' with the inverse net runs the *identical* chain —
+    pins the conversion constants to the update's own schedule."""
+    key = jax.random.PRNGKey(12)
+    shape = (3, 8, 8, 2)
+    m = jax.random.normal(jax.random.PRNGKey(13), shape)
+    out_eps = reverse_sample(optimal_model(m), key, None, shape, SCHED,
+                             mode="conditional")
+    out_x0 = reverse_sample(optimal_model_x0(m), key, None, shape, SCHED,
+                            mode="conditional", predict="x0")
+    np.testing.assert_allclose(np.asarray(out_x0), np.asarray(out_eps),
+                               atol=1e-5)
+
+
+def test_x0_mean_collapsed_net_emits_posterior_mean_exactly():
+    """A constant net x0_hat = m (what the supervised probe learns)
+    telescopes to out = m exactly: the final step's x-coefficient is
+    identically zero because 1 - abar_0 = beta_0."""
+    shape = (2, 8, 8, 2)
+    m = jax.random.normal(jax.random.PRNGKey(14), shape)
+    const_net = lambda x, t: jnp.broadcast_to(m, x.shape)
+    out_a = reverse_sample(const_net, jax.random.PRNGKey(0), None, shape,
+                           SCHED, mode="conditional", predict="x0")
+    out_b = reverse_sample(const_net, jax.random.PRNGKey(99), None, shape,
+                           SCHED, mode="conditional", predict="x0")
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(m), atol=1e-5)
+    # the initial draw leaves no trace at all
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                               atol=1e-5)
+
+
+def test_x0_mean_collapsed_chain_never_worse_than_prior():
+    """MSE corollary: chain MSE = e_u for every predictable split —
+    strictly below prior MSE = e_m + e_u whenever e_m > 0."""
+    for e_m, seed in [(0.0, 15), (0.055, 16), (1.0, 17)]:
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+        n = 16384
+        m = jnp.sqrt(e_m) * jax.random.normal(k1, (n,))
+        u = jax.random.normal(k2, (n,))
+        r = m + u
+        const_net = lambda x, t: jnp.broadcast_to(m, x.shape)
+        out = reverse_sample(const_net, k3, None, (n,), SCHED,
+                             mode="conditional", predict="x0")
+        prior_mse = float(jnp.mean(r**2))
+        chain_mse = float(jnp.mean((out - r) ** 2))
+        assert chain_mse == pytest.approx(1.0, rel=0.05)  # = e_u
+        assert chain_mse <= prior_mse * 1.02
+        if e_m > 0:
+            assert chain_mse < prior_mse
