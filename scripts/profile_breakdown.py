@@ -39,6 +39,13 @@ if os.environ.get("PDT_PROFILE_SMOKE"):
     BATCHES = (1, 2)
     OUT = "/tmp/PERF_smoke.json"
 
+# which measurement groups to run, e.g. PDT_PROFILE_SECTIONS=train to
+# (re-)measure only the train-step attribution
+SECTIONS = set(
+    (os.environ.get("PDT_PROFILE_SECTIONS") or "enhance,train,trace")
+    .split(",")
+)
+
 
 def main():
     import jax
@@ -67,7 +74,14 @@ def main():
     ddpm_vars = ddpm.init(k2, dummy, dummy, jnp.zeros((1,)))
 
     def slope(fn, *args, reps=3):
-        """Median wall seconds per op via chained runs + scalar readback."""
+        """Median wall seconds per op via chained runs + scalar readback.
+
+        Chain lengths are sized adaptively so the measured delta is
+        >=50 ms of device work — fixed short chains put sub-ms stages
+        inside host-timing noise (round-2 verdict item 3: a shipped
+        negative timing).  Non-positive slopes are re-measured with a
+        doubled chain; the final value is asserted positive.
+        """
         out = fn(*args)
         float(jnp.sum(out if not isinstance(out, tuple) else out[0]))
 
@@ -79,8 +93,16 @@ def main():
             float(jnp.sum(o if not isinstance(o, tuple) else o[0]))
             return time.time() - t0
 
-        vals = [(chain(N2) - chain(N1)) / (N2 - N1) for _ in range(reps)]
-        return statistics.median(vals)
+        # pilot estimate -> chain length giving a >=50 ms delta
+        est = max((chain(N2) - chain(N1)) / (N2 - N1), 1e-5)
+        n2 = N1 + max(N2 - N1, int(0.05 / est) + 1)
+        for _ in range(4):
+            vals = [(chain(n2) - chain(N1)) / (n2 - N1) for _ in range(reps)]
+            med = statistics.median(vals)
+            if med > 0:
+                return med
+            n2 = N1 + 2 * (n2 - N1)  # noise won: double the work delta
+        raise AssertionError(f"non-positive slope {med} at chain {n2}")
 
     results = {"device": getattr(jax.devices()[0], "device_kind", "?")}
 
@@ -285,6 +307,9 @@ def main():
             results[key_name] = f"{type(e).__name__}: {e}"[:200]
         print(json.dumps({key_name: results[key_name]}), flush=True)
 
+    if "train" in SECTIONS:
+        train_attribution(jax, jnp, results)
+
     # attempt a profiler trace (host-side at minimum)
     trace_dir = "/tmp/jax_trace_enhance"
     try:
@@ -298,6 +323,10 @@ def main():
     except Exception as e:
         results["profiler_trace"] = {"error": f"{type(e).__name__}: {e}"[:200]}
 
+    _write(results)
+
+
+def _write(results):
     os.makedirs("docs", exist_ok=True)
     os.makedirs(os.path.dirname(OUT) or ".", exist_ok=True)
     with open(OUT, "w") as f:
@@ -305,5 +334,141 @@ def main():
     print(f"wrote {OUT}", flush=True)
 
 
+def train_attribution(jax, jnp, results):
+    # ---- train-step attribution (verdict item 2 asks for the train jit
+    # too): forward loss alone vs the full value_and_grad + adam step,
+    # in both precisions.  The forward jit mirrors the trainer's
+    # loss_of closure (training/ddpm_trainer.py:227-256) using the same
+    # building blocks, so fwd/bwd attribution needs no trainer changes.
+    import shutil
+    import tempfile
+
+    from prior_diffuse_tpu.config import (
+        DiffusionConfig, ExperimentConfig, ModelConfig, OptimConfig,
+        RunConfig, TrainConfig,
+    )
+    from prior_diffuse_tpu.data import synthetic
+    from prior_diffuse_tpu.diffusion import q_sample
+    from prior_diffuse_tpu.training import ComplexDDPMTrainer
+    from prior_diffuse_tpu.training.base import spec_features
+
+    tmpdir = tempfile.mkdtemp(prefix="pdt_prof_")
+    train_batch = 6
+    corpus = synthetic.write_corpus(
+        f"{tmpdir}/data", n_train=train_batch, n_test=2,
+        min_len=CHUNK, max_len=CHUNK + 1600, seed=0,
+    )
+    for dname in ("f32", "bf16"):
+        exp = ExperimentConfig(
+            train=TrainConfig(batch_size=train_batch, n_epochs=1,
+                              loss="com_mse_loss", chunk_length=CHUNK,
+                              compute_dtype="bfloat16" if dname == "bf16"
+                              else "float32"),
+            model=ModelConfig("DiffUNet"),
+            optim=OptimConfig(lr=5e-4),
+            optim_ddpm=OptimConfig(lr=2e-4),
+            diffusion=DiffusionConfig(),
+        )
+        run = RunConfig(assets=f"{tmpdir}/assets_{dname}", doc="prof",
+                        data_root=corpus, joint=True)
+        tr = ComplexDDPMTrainer(run, exp)
+        batch = next(iter(tr.tr_loader))
+        noisy, clean, frames = tr.put_batch(batch.noisy, batch.clean,
+                                            batch.frame_nums)
+        rng = jax.random.PRNGKey(0)
+
+        @jax.jit
+        def train_fwd(state, noisy, clean, frame_nums, rng):
+            feat = spec_features(noisy, tr.cfg)
+            label = spec_features(clean, tr.cfg)
+            dis_out, _ = tr._dis_apply(state["dis"], feat, train=True)
+            dis_out = dis_out.astype(jnp.float32)
+            loss_dis = tr.loss_fn(dis_out, label, frame_nums)
+            x_init = dis_out / tr.c
+            x_t, noise, t = q_sample(
+                rng, label / tr.c, x_init, tr.alpha_bar, tr.num_steps,
+                tr.mode, None, t_grid=tr.t_grid, ab_grid=tr.ab_grid,
+            )
+            eps, _ = tr._ddpm_apply(
+                state["ddpm"], x_t, tr._cond(feat / tr.c, x_init), t,
+                train=True,
+            )
+            return (tr.cfg.lam
+                    * tr.loss_fn(eps.astype(jnp.float32), noise, frame_nums)
+                    + loss_dis)
+
+        tsec = {}
+
+        def fwd_chain(n):
+            t0 = time.time()
+            o = None
+            for i in range(n):
+                o = train_fwd(tr.state, noisy, clean, frames,
+                              jax.random.fold_in(rng, i))
+            float(o)
+            return time.time() - t0
+
+        float(train_fwd(tr.state, noisy, clean, frames, rng))  # compile
+        est = max((fwd_chain(N2) - fwd_chain(N1)) / (N2 - N1), 1e-5)
+        n2 = N1 + max(N2 - N1, int(0.05 / est) + 1)
+        tsec["fwd_ms"] = round(statistics.median(
+            [(fwd_chain(n2) - fwd_chain(N1)) / (n2 - N1) for _ in range(3)]
+        ) * 1e3, 2)
+
+        # _train_step donates its state argument (ddpm_trainer.py:162),
+        # so the tree must be THREADED through every call — reusing a
+        # donated tree works on CPU (donation ignored) but crashes on
+        # the chip.  Same pattern as bench.py::bench_train_step.
+        state = tr.state
+
+        def full_chain(n):
+            nonlocal state
+            t0 = time.time()
+            total = None
+            for i in range(n):
+                state, total, *_ = tr._train_step(
+                    state, noisy, clean, frames, jax.random.fold_in(rng, i)
+                )
+            float(total)  # state-feedback chain ends in a scalar readback
+            return time.time() - t0
+
+        state, t0_, *_ = tr._train_step(state, noisy, clean, frames, rng)
+        float(t0_)  # compile
+        tsec["full_step_ms"] = round(statistics.median(
+            [(full_chain(N2) - full_chain(N1)) / (N2 - N1)
+             for _ in range(3)]
+        ) * 1e3, 2)
+        tsec["bwd_opt_ms"] = round(tsec["full_step_ms"] - tsec["fwd_ms"], 2)
+        if tsec["fwd_ms"] > 0:
+            tsec["bwd_over_fwd"] = round(
+                tsec["bwd_opt_ms"] / tsec["fwd_ms"], 2)
+        results[f"train_{dname}"] = tsec
+        print(json.dumps({f"train_{dname}": tsec}), flush=True)
+        del tr
+    shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def train_only():
+    """Entry for PDT_PROFILE_SECTIONS=train: validate/measure just the
+    train-step attribution without re-running the enhance sections."""
+    import jax
+
+    if os.environ.get("PDT_PROFILE_SMOKE"):
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    results = {"device": getattr(jax.devices()[0], "device_kind", "?")}
+    train_attribution(jax, jnp, results)
+    # separate artifact so a train-only rerun never clobbers the full
+    # enhance+train attribution in OUT
+    global OUT
+    base, ext = os.path.splitext(OUT)
+    OUT = f"{base}_train{ext}"
+    _write(results)
+
+
 if __name__ == "__main__":
-    main()
+    if SECTIONS == {"train"}:
+        train_only()
+    else:
+        main()
