@@ -141,6 +141,13 @@ class DiffusionConfig:
     # (docs/residual_capability_r3.md E8): a supervised regressor
     # recovers residual structure (val cos 0.23) that the eps-trained
     # chain never emits (cos ~ 0); "x0" closes that transfer gap.
+    # Measured recipe (residual_capability_r3.md E9/E9-TPU): near the
+    # net's mean-regression optimum "x0" makes the chain >= prior-only
+    # (eps at the same budget is heavily net-negative), but FAR from
+    # convergence an undertrained x0 net is riskier than eps — its
+    # error enters the chain at full (1-ab) output weight.  Use "eps"
+    # while the prior trains jointly, "x0" for a long frozen-prior
+    # refinement stage.
     # Not supported in deltamu mode (its state mixes x_init into the
     # noise term, so there is no clean x0 target).
     predict: str = "eps"
