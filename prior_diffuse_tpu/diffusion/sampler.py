@@ -38,7 +38,7 @@ def reverse_sample(
     mode: str = "pirorgrad",
     sig_mask: Optional[jnp.ndarray] = None,
     dtype=jnp.float32,
-    unroll: int = 1,
+    unroll: int = 0,
     n_avg: int = 1,
     zero_init: bool = False,
     predict: str = "eps",
@@ -164,8 +164,13 @@ def reverse_sample(
         return x, None
 
     # unroll > 1 trades code size for cross-step fusion/pipelining
-    # headroom (the whole chain is only 6 steps; measured in
-    # scripts/profile_breakdown.py before changing any default)
+    # headroom.  0 = auto: fully unroll short (fast-T) schedules —
+    # measured 7% win on the 6-step bf16 enhance chain (46.9 vs
+    # 50.6 ms/batch-8, docs/PERF_r3.json enhance_bf16_unroll6_ms) —
+    # but keep the rolled scan for long (full-T) schedules, where
+    # unrolling only bloats compile time on this remote-compile stack.
+    if unroll == 0:
+        unroll = n_steps if n_steps <= 8 else 1
     x, _ = jax.lax.scan(step, x, consts, unroll=unroll)
     if mode == "pirorgrad":
         x = x + x_init
