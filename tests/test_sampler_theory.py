@@ -247,3 +247,39 @@ def test_x0_mean_collapsed_chain_never_worse_than_prior():
         assert chain_mse <= prior_mse * 1.02
         if e_m > 0:
             assert chain_mse < prior_mse
+
+
+def test_unroll_rolled_and_auto_identical():
+    """Auto-unroll (sampler.py: unroll=0 fully unrolls schedules <= 8
+    steps, keeps the rolled scan otherwise) is a codegen choice only —
+    outputs must be bit-compatible across unroll settings, on both the
+    6-step fast schedule (auto -> unrolled) and the 50-step full
+    schedule (auto -> rolled, the branch no other test reaches now)."""
+    shape = (2, 8, 8, 2)
+    m = jax.random.normal(jax.random.PRNGKey(21), shape)
+    full = inference_schedule(DiffusionConfig(), fast_sampling=False)
+    assert full.num_steps > 8  # guards the rolled branch really runs
+    for sched in (SCHED, full):
+        outs = [
+            reverse_sample(optimal_model_for(sched, m),
+                           jax.random.PRNGKey(3), None, shape, sched,
+                           mode="conditional", unroll=u)
+            for u in (0, 1, sched.num_steps)
+        ]
+        np.testing.assert_allclose(np.asarray(outs[0]),
+                                   np.asarray(outs[1]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(outs[0]),
+                                   np.asarray(outs[2]), atol=1e-6)
+
+
+def optimal_model_for(sched, m):
+    """optimal_model generalized to an arbitrary schedule."""
+    t_grid = jnp.asarray(sched.T, jnp.float32)
+    ac_grid = jnp.asarray(sched.alpha_cum, jnp.float32)
+
+    def model_fn(x, t_vec):
+        n = jnp.argmin(jnp.abs(t_grid - t_vec[0]))
+        ac = ac_grid[n]
+        return jnp.sqrt(1.0 - ac) * (x - jnp.sqrt(ac) * m)
+
+    return model_fn
