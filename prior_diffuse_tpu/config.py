@@ -151,6 +151,24 @@ class DiffusionConfig:
     # Not supported in deltamu mode (its state mixes x_init into the
     # noise term, so there is no clean x0 target).
     predict: str = "eps"
+    # Framework extension (no reference counterpart): close the x0
+    # objective's *identity leak*.  In pirorgrad mode the training input
+    # is x_t = sqrt(ab)*r + sqrt(1-ab)*eps, so wherever ab is large the
+    # lowest-loss policy for an x0 net is to read the target r straight
+    # out of x_t instead of out of the conditioning — but the reverse
+    # chain's own states carry the net's *estimate* of r, not r itself,
+    # so that policy emits ~0 at inference (measured: sampled residual
+    # collapses to 7% energy / cos 0.02 against a weak prior,
+    # docs/residual_capability_r3.md E9-TPU).  With probability
+    # x0_leak_drop per training sample, the signal term of x_t is
+    # attenuated by a U[0,1) factor (target unchanged), covering the
+    # homotopy from chain-start (no r content) to the training
+    # distribution (full r content) and forcing the net to recover r
+    # from the conditioning.  0.0 = reference semantics.  Only
+    # meaningful with predict="x0" (the eps target is the noise, which
+    # the attenuation leaves intact but whose optimum it distorts) —
+    # the trainer rejects it under predict="eps".
+    x0_leak_drop: float = 0.0
 
     @property
     def num_steps(self) -> int:

@@ -37,6 +37,7 @@ def q_sample(
     sig_mask: Optional[jnp.ndarray] = None,
     t_grid: Optional[jnp.ndarray] = None,
     ab_grid: Optional[jnp.ndarray] = None,
+    leak_drop: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Draw ``t``, ``eps`` and build ``x_t``.
 
@@ -58,8 +59,21 @@ def q_sample(
     grid — pass the fast inference schedule's ``(T, alpha_cum)`` to
     concentrate training exactly on the noise levels the fast sampler
     queries (``DiffusionConfig.train_t_fast``).
+
+    ``leak_drop`` (framework extension, ``DiffusionConfig.x0_leak_drop``):
+    with this probability per sample, the *signal* term of ``x_t`` (the
+    residual in pirorgrad mode, the clean spectrum in conditional mode)
+    is attenuated by a ``U[0,1)`` factor while the regression target is
+    left untouched — closing the x0 objective's identity leak (the net
+    can no longer read the target out of its own input at large
+    alpha_bar, matching the reverse chain's states which never contain
+    the true residual).  0.0 = reference semantics, bitwise identical
+    PRNG stream.
     """
-    t_rng, n_rng = jax.random.split(rng)
+    if leak_drop > 0.0:
+        t_rng, n_rng, d_rng, u_rng = jax.random.split(rng, 4)
+    else:
+        t_rng, n_rng = jax.random.split(rng)
     batch = clean.shape[0]
     if t_grid is not None:
         idx = jax.random.randint(t_rng, (batch,), 0, len(t_grid))
@@ -72,12 +86,25 @@ def q_sample(
     if sig_mask is not None:
         noise = noise * jnp.sqrt(sig_mask)
 
+    if leak_drop > 0.0:
+        if mode == "deltamu":
+            raise ValueError("leak_drop is unsupported in deltamu mode")
+        dropped = jax.random.bernoulli(d_rng, leak_drop, (batch,))
+        u = jax.random.uniform(u_rng, (batch,), clean.dtype)
+        sig_scale = jnp.where(dropped, u, 1.0).reshape(batch, 1, 1, 1)
+    else:
+        sig_scale = None
+
     if mode == "pirorgrad":
-        x_t = jnp.sqrt(ab) * (clean - x_init) + jnp.sqrt(1.0 - ab) * noise
+        signal = clean - x_init
+        if sig_scale is not None:
+            signal = signal * sig_scale
+        x_t = jnp.sqrt(ab) * signal + jnp.sqrt(1.0 - ab) * noise
     elif mode == "deltamu":
         x_t = jnp.sqrt(ab) * clean + jnp.sqrt(1.0 - ab) * (noise + x_init)
     elif mode == "conditional":
-        x_t = jnp.sqrt(ab) * clean + jnp.sqrt(1.0 - ab) * noise
+        signal = clean if sig_scale is None else clean * sig_scale
+        x_t = jnp.sqrt(ab) * signal + jnp.sqrt(1.0 - ab) * noise
     else:
         raise ValueError(f"unknown diffusion mode {mode!r}")
     return x_t, noise, t

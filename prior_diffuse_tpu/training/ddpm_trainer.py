@@ -83,6 +83,14 @@ class ComplexDDPMTrainer(TrainerBase):
         if diff.predict == "x0" and self.mode == "deltamu":
             raise ValueError("predict='x0' is unsupported in deltamu mode")
         self.predict = diff.predict
+        # x0_leak_drop extension (see DiffusionConfig): train-time
+        # attenuation of x_t's signal content, closing the x0
+        # objective's identity leak; meaningless for the eps target
+        self.x0_leak_drop = float(getattr(diff, "x0_leak_drop", 0.0))
+        if self.x0_leak_drop and self.predict != "x0":
+            raise ValueError("x0_leak_drop requires predict='x0'")
+        if not 0.0 <= self.x0_leak_drop <= 1.0:
+            raise ValueError("x0_leak_drop must be in [0, 1]")
         self.c = diff.scale_c
         self.sched = make_schedule(diff)
         self.alpha_bar = jnp.asarray(self.sched.alpha_bar, jnp.float32)
@@ -247,6 +255,7 @@ class ComplexDDPMTrainer(TrainerBase):
             x_t, noise, t = q_sample(
                 rng, lbl, x_init, self.alpha_bar, self.num_steps,
                 self.mode, sig, t_grid=self.t_grid, ab_grid=self.ab_grid,
+                leak_drop=self.x0_leak_drop,
             )
             ddpm_vars = {"params": params["ddpm"],
                          "batch_stats": state["ddpm"]["batch_stats"]}

@@ -117,6 +117,12 @@ def main():
                          "residual directly instead of the noise; the "
                          "sampler converts per step "
                          "(DiffusionConfig.predict='x0')")
+    ap.add_argument("--x0-leak-drop", type=float, default=0.0,
+                    help="framework extension: probability that a "
+                         "training sample's x_t signal content is "
+                         "attenuated by U[0,1), closing the x0 "
+                         "objective's identity leak "
+                         "(DiffusionConfig.x0_leak_drop)")
     ap.add_argument("--warm-start-doc", default="demo",
                     help="doc dir inside --warm-start-dis to copy the "
                          "prior from (e.g. demo_early)")
@@ -190,7 +196,8 @@ def main():
                                   n_avg=args.n_avg,
                                   zero_init=args.zero_init,
                                   predict="x0" if args.predict_x0
-                                  else "eps"),
+                                  else "eps",
+                                  x0_leak_drop=args.x0_leak_drop),
     )
     t0 = time.time()
 
@@ -316,6 +323,8 @@ def main():
                    if args.zero_init else "")
                 + (", predict=x0 parameterization"
                    if args.predict_x0 else "")
+                + (f", x0_leak_drop={args.x0_leak_drop:g}"
+                   if args.x0_leak_drop else "")
                 + (f", prior warm-started from {args.warm_start_dis}"
                    if args.warm_start_dis else "")
                 + f", lam {args.lam:g}.\n\n")

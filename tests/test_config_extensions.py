@@ -13,6 +13,7 @@ def test_yaml_defaults_are_reference_semantics():
     assert d.n_avg == 1
     assert d.zero_init is False
     assert d.predict == "eps"
+    assert d.x0_leak_drop == 0.0
     assert d.scale_c == 11.0
     assert d.gamma0_override == 0.2
 
@@ -20,10 +21,12 @@ def test_yaml_defaults_are_reference_semantics():
 def test_yaml_routes_extension_knobs():
     exp = experiment_from_dict(
         {"diffusion": {"n_avg": 8, "cond_noisy": True, "train_t_fast": True,
-                       "zero_init": True, "predict": "x0"}}
+                       "zero_init": True, "predict": "x0",
+                       "x0_leak_drop": 0.5}}
     )
     assert exp.diffusion.n_avg == 8
     assert exp.diffusion.predict == "x0"
+    assert exp.diffusion.x0_leak_drop == 0.5
     assert exp.diffusion.zero_init is True
     assert exp.diffusion.cond_noisy is True
     assert exp.diffusion.train_t_fast is True

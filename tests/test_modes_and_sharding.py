@@ -256,3 +256,19 @@ def test_train_step_shards_over_8_devices(tmp_path, corpus):
     # replicated state stays replicated after the update
     leaf = jax.tree.leaves(tr.state["ddpm"]["params"])[0]
     assert len(leaf.sharding.device_set) == 8
+
+
+def test_x0_leak_drop_extension(tmp_path, corpus):
+    """x0_leak_drop (framework extension): trains end to end under the
+    sigma-weighted loss and the leak knob requires the x0 target."""
+    diff = DiffusionConfig(predict="x0", x0_leak_drop=0.5)
+    tr, total, l_dis, l_ddpm = _one_step(tmp_path, corpus, _exp(diff),
+                                         joint=True, sigma=True)
+    assert tr.x0_leak_drop == 0.5
+    assert np.isfinite(total) and l_ddpm > 0.0
+
+
+def test_x0_leak_drop_rejects_eps(tmp_path, corpus):
+    diff = DiffusionConfig(predict="eps", x0_leak_drop=0.5)
+    with pytest.raises(ValueError, match="x0_leak_drop"):
+        _one_step(tmp_path, corpus, _exp(diff))

@@ -206,3 +206,51 @@ def test_reverse_sampler_calls_model_with_aligned_T(rng):
     out = reverse_sample(lambda x, t: jnp.zeros_like(x), jax.random.PRNGKey(0),
                          x_init, x_init.shape, sched)
     assert out.shape == x_init.shape
+
+
+def test_qsample_leak_drop_scales_signal_only(rng):
+    """x0_leak_drop extension: with leak_drop=1.0 every sample's signal
+    term is attenuated by a per-sample scalar in [0, 1) while the
+    returned noise (the eps target) is untouched."""
+    cfg = DiffusionConfig()
+    sched = make_schedule(cfg)
+    clean = jnp.asarray(rng.standard_normal((8, 7, 161, 2)).astype(np.float32))
+    x_init = jnp.asarray(rng.standard_normal((8, 7, 161, 2)).astype(np.float32))
+    key = jax.random.PRNGKey(11)
+    ab = jnp.asarray(sched.alpha_bar)
+    x_t, noise, t = q_sample(key, clean, x_init, ab, 50, "pirorgrad",
+                             leak_drop=1.0)
+    ab_t = np.asarray(ab)[np.asarray(t)].reshape(-1, 1, 1, 1).astype(np.float32)
+    r = np.asarray(clean) - np.asarray(x_init)
+    # recover the per-sample scale: m = (x_t - sqrt(1-ab)*noise) / (sqrt(ab)*r)
+    m_map = (np.asarray(x_t) - np.sqrt(1 - ab_t) * np.asarray(noise)) / (
+        np.sqrt(ab_t) * r
+    )
+    for b in range(8):
+        vals = m_map[b].ravel()
+        assert np.allclose(vals, vals[0], atol=1e-3), "scale not per-sample scalar"
+        assert 0.0 <= vals[0] < 1.0
+
+
+def test_qsample_leak_drop_zero_is_reference_path(rng):
+    """leak_drop=0.0 must be bitwise identical to the default call —
+    same PRNG consumption, same outputs (reference semantics)."""
+    cfg = DiffusionConfig()
+    sched = make_schedule(cfg)
+    clean = jnp.asarray(rng.standard_normal((4, 5, 161, 2)).astype(np.float32))
+    x_init = jnp.zeros_like(clean)
+    key = jax.random.PRNGKey(7)
+    ab = jnp.asarray(sched.alpha_bar)
+    a = q_sample(key, clean, x_init, ab, 50, "pirorgrad")
+    b = q_sample(key, clean, x_init, ab, 50, "pirorgrad", leak_drop=0.0)
+    for u, v in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(u), np.asarray(v))
+
+
+def test_qsample_leak_drop_rejects_deltamu(rng):
+    cfg = DiffusionConfig()
+    sched = make_schedule(cfg)
+    clean = jnp.ones((2, 3, 161, 2), jnp.float32)
+    with pytest.raises(ValueError, match="deltamu"):
+        q_sample(jax.random.PRNGKey(0), clean, clean,
+                 jnp.asarray(sched.alpha_bar), 50, "deltamu", leak_drop=0.5)
