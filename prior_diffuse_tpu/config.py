@@ -161,13 +161,20 @@ class DiffusionConfig:
     # collapses to 7% energy / cos 0.02 against a weak prior,
     # docs/residual_capability_r3.md E9-TPU).  With probability
     # x0_leak_drop per training sample, the signal term of x_t is
-    # attenuated by a U[0,1) factor (target unchanged), covering the
-    # homotopy from chain-start (no r content) to the training
-    # distribution (full r content) and forcing the net to recover r
-    # from the conditioning.  0.0 = reference semantics.  Only
-    # meaningful with predict="x0" (the eps target is the noise, which
-    # the attenuation leaves intact but whose optimum it distorts) —
-    # the trainer rejects it under predict="eps".
+    # hard-zeroed (target unchanged), forcing the net to recover r from
+    # the conditioning.  At p=1.0 — the recommended setting for
+    # frozen-prior refinement — the training optimum ignores x_t and
+    # regresses the posterior-mean residual, which the UNCHANGED
+    # reference sampler then emits exactly (the mean-collapse law): at
+    # the affine optimum this chain's MSE is e_unpredictable, strictly
+    # below both the prior (e_m + e_u) and the reference chain
+    # (abar^2*e_m + abar + e_u) whenever anything is predictable.
+    # Intermediate p and soft attenuation are *miscalibrated* against
+    # the sampler's full-scale x0->eps conversion and can run worse
+    # than the prior — both laws pinned by tests/test_sampler_theory.py.
+    # 0.0 = reference semantics.  Only meaningful with predict="x0"
+    # (the eps target is the noise; dropping the signal distorts its
+    # optimum) — the trainer rejects it under predict="eps".
     x0_leak_drop: float = 0.0
 
     @property

@@ -63,15 +63,24 @@ def q_sample(
     ``leak_drop`` (framework extension, ``DiffusionConfig.x0_leak_drop``):
     with this probability per sample, the *signal* term of ``x_t`` (the
     residual in pirorgrad mode, the clean spectrum in conditional mode)
-    is attenuated by a ``U[0,1)`` factor while the regression target is
-    left untouched — closing the x0 objective's identity leak (the net
-    can no longer read the target out of its own input at large
-    alpha_bar, matching the reverse chain's states which never contain
-    the true residual).  0.0 = reference semantics, bitwise identical
-    PRNG stream.
+    is zeroed while the regression target is left untouched — closing
+    the x0 objective's identity leak (the net can no longer read the
+    target out of its own input at large alpha_bar).  The drop is hard
+    (scale 0), not a soft attenuation: the sampler's per-step
+    conversion ``eps = (x - sqrt(ab)*x0_hat)/sqrt(1-ab)`` assumes
+    ``x0_hat`` estimates the signal at FULL scale, and a net trained on
+    partially attenuated signal is miscalibrated against it — the
+    closed-form affine optimum under soft U[0,1) attenuation runs a
+    chain *worse than the prior* (pinned by
+    tests/test_sampler_theory.py::test_leak_drop_soft_attenuation_is_miscalibrated),
+    while the hard-drop p=1 optimum ignores ``x_t``, emits the
+    posterior-mean residual exactly (mean-collapse law) and strictly
+    dominates both the prior and the reference chain whenever any
+    residual is predictable.  0.0 = reference semantics, bitwise
+    identical PRNG stream.
     """
     if leak_drop > 0.0:
-        t_rng, n_rng, d_rng, u_rng = jax.random.split(rng, 4)
+        t_rng, n_rng, d_rng = jax.random.split(rng, 3)
     else:
         t_rng, n_rng = jax.random.split(rng)
     batch = clean.shape[0]
@@ -90,8 +99,8 @@ def q_sample(
         if mode == "deltamu":
             raise ValueError("leak_drop is unsupported in deltamu mode")
         dropped = jax.random.bernoulli(d_rng, leak_drop, (batch,))
-        u = jax.random.uniform(u_rng, (batch,), clean.dtype)
-        sig_scale = jnp.where(dropped, u, 1.0).reshape(batch, 1, 1, 1)
+        sig_scale = jnp.where(dropped, 0.0, 1.0).astype(clean.dtype)
+        sig_scale = sig_scale.reshape(batch, 1, 1, 1)
     else:
         sig_scale = None
 

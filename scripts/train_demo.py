@@ -120,8 +120,9 @@ def main():
     ap.add_argument("--x0-leak-drop", type=float, default=0.0,
                     help="framework extension: probability that a "
                          "training sample's x_t signal content is "
-                         "attenuated by U[0,1), closing the x0 "
-                         "objective's identity leak "
+                         "hard-zeroed, closing the x0 objective's "
+                         "identity leak; 1.0 = posterior-mean "
+                         "regression through the unchanged sampler "
                          "(DiffusionConfig.x0_leak_drop)")
     ap.add_argument("--warm-start-doc", default="demo",
                     help="doc dir inside --warm-start-dis to copy the "

@@ -283,3 +283,86 @@ def optimal_model_for(sched, m):
         return jnp.sqrt(1.0 - ac) * (x - jnp.sqrt(ac) * m)
 
     return model_fn
+
+
+def _affine_leak_optimum(Es, Es2, e_m, e_u):
+    """Per-noise-level least-squares optimum of x0_hat = w*x + b*m under
+    the leak-drop training distribution x = sqrt(ab)*s*r + sqrt(1-ab)*eps
+    with r = m + u, m ~ N(0, e_m), u ~ N(0, e_u), and signal scale s
+    having the given first two moments (qsample.py leak_drop)."""
+    sr2 = e_m + e_u
+    ws, bs = [], []
+    for ab in SCHED.alpha_cum:
+        s_xx = ab * Es2 * sr2 + (1.0 - ab)
+        s_xm = np.sqrt(ab) * Es * e_m
+        c_x = np.sqrt(ab) * Es * sr2
+        if e_m == 0.0:
+            w, b = c_x / s_xx, 0.0
+        else:
+            w, b = np.linalg.solve(
+                np.array([[s_xx, s_xm], [s_xm, e_m]]), [c_x, e_m]
+            )
+        ws.append(w)
+        bs.append(b)
+    return np.asarray(ws, np.float32), np.asarray(bs, np.float32)
+
+
+def _leak_chain_mse(Es, Es2, e_m, e_u=1.0, n=65536, seed=30):
+    ws, bs = _affine_leak_optimum(Es, Es2, e_m, e_u)
+    t_grid = jnp.asarray(SCHED.T, jnp.float32)
+    wj, bj = jnp.asarray(ws), jnp.asarray(bs)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    m = jnp.sqrt(e_m) * jax.random.normal(k1, (n,))
+    u = jnp.sqrt(e_u) * jax.random.normal(k2, (n,))
+    r = m + u
+
+    def net(x, t_vec):
+        i = jnp.argmin(jnp.abs(t_grid - t_vec[0]))
+        return wj[i] * x + bj[i] * m
+
+    out = reverse_sample(net, k3, None, (n,), SCHED, mode="conditional",
+                         predict="x0")
+    return float(jnp.mean(r**2)), float(jnp.mean((out - r) ** 2))
+
+
+def test_leak_drop_hard_p1_optimum_dominates_prior_and_reference():
+    """x0_leak_drop=1.0 (hard drop): the training optimum has w = 0,
+    b = 1 — a posterior-mean regressor — and the unchanged sampler
+    emits it exactly, so chain MSE = e_u, strictly below BOTH the prior
+    (e_m + e_u) and the reference-semantics chain
+    (abar^2*e_m + abar + e_u) whenever e_m > 0.  This is the law the
+    DiffusionConfig.x0_leak_drop extension rides."""
+    # hard drop p=1: s = 0 always -> E[s] = E[s^2] = 0
+    ws, bs = _affine_leak_optimum(0.0, 0.0, e_m=0.2, e_u=1.0)
+    np.testing.assert_allclose(ws, 0.0, atol=1e-12)
+    np.testing.assert_allclose(bs, 1.0, atol=1e-12)
+    for e_m in (0.055, 0.2, 1.0):
+        prior, chain = _leak_chain_mse(0.0, 0.0, e_m)
+        assert chain == pytest.approx(1.0, rel=0.05)  # = e_u
+        assert chain < prior
+        ref_chain = ABAR**2 * e_m + ABAR + 1.0
+        assert chain < ref_chain
+    # e_m = 0.2 is a regime where reference semantics LOSES to the
+    # prior (test_reference_semantics_win_requires_predictability) but
+    # the leak-drop chain still wins — capability the reference lacks.
+
+
+def test_leak_drop_soft_attenuation_is_miscalibrated():
+    """Why the drop is hard: the sampler's conversion
+    eps = (x - sqrt(ab)*x0_hat)/sqrt(1-ab) assumes x0_hat estimates the
+    signal at FULL scale.  The affine optimum under soft U[0,1)
+    attenuation (E[s]=1/2, E[s^2]=1/3) is shrunk against that
+    convention and its chain runs WORSE than the prior — soft
+    attenuation would be a footgun, hence qsample.py zeroes."""
+    for e_m in (0.2, 1.0):
+        prior, chain = _leak_chain_mse(0.5, 1.0 / 3.0, e_m)
+        assert chain > prior * 1.2
+
+
+def test_leak_drop_zero_moments_recover_reference_optimum():
+    """p=0 (s=1 surely): the affine optimum's chain matches the closed
+    form of the shared eps/x0 training optimum — abar^2*e_m + abar +
+    e_u — i.e. leak_drop off really is reference semantics."""
+    for e_m in (0.2, 1.0):
+        prior, chain = _leak_chain_mse(1.0, 1.0, e_m)
+        assert chain == pytest.approx(ABAR**2 * e_m + ABAR + 1.0, rel=0.05)

@@ -208,10 +208,10 @@ def test_reverse_sampler_calls_model_with_aligned_T(rng):
     assert out.shape == x_init.shape
 
 
-def test_qsample_leak_drop_scales_signal_only(rng):
+def test_qsample_leak_drop_zeroes_signal_only(rng):
     """x0_leak_drop extension: with leak_drop=1.0 every sample's signal
-    term is attenuated by a per-sample scalar in [0, 1) while the
-    returned noise (the eps target) is untouched."""
+    term is hard-zeroed (x_t is pure mixed noise) while the returned
+    noise (and hence the x0 regression target path) is untouched."""
     cfg = DiffusionConfig()
     sched = make_schedule(cfg)
     clean = jnp.asarray(rng.standard_normal((8, 7, 161, 2)).astype(np.float32))
@@ -221,15 +221,32 @@ def test_qsample_leak_drop_scales_signal_only(rng):
     x_t, noise, t = q_sample(key, clean, x_init, ab, 50, "pirorgrad",
                              leak_drop=1.0)
     ab_t = np.asarray(ab)[np.asarray(t)].reshape(-1, 1, 1, 1).astype(np.float32)
-    r = np.asarray(clean) - np.asarray(x_init)
-    # recover the per-sample scale: m = (x_t - sqrt(1-ab)*noise) / (sqrt(ab)*r)
-    m_map = (np.asarray(x_t) - np.sqrt(1 - ab_t) * np.asarray(noise)) / (
-        np.sqrt(ab_t) * r
-    )
-    for b in range(8):
-        vals = m_map[b].ravel()
-        assert np.allclose(vals, vals[0], atol=1e-3), "scale not per-sample scalar"
-        assert 0.0 <= vals[0] < 1.0
+    want = np.sqrt(1 - ab_t) * np.asarray(noise)
+    np.testing.assert_allclose(np.asarray(x_t), want, atol=1e-6)
+
+
+def test_qsample_leak_drop_partial_is_per_sample_mask(rng):
+    """At 0 < p < 1 the drop is a per-sample hard mask: each row is
+    either exactly the reference x_t or exactly the dropped one."""
+    cfg = DiffusionConfig()
+    sched = make_schedule(cfg)
+    clean = jnp.asarray(rng.standard_normal((16, 5, 161, 2)).astype(np.float32))
+    x_init = jnp.zeros_like(clean)
+    key = jax.random.PRNGKey(13)
+    ab = jnp.asarray(sched.alpha_bar)
+    x_t, noise, t = q_sample(key, clean, x_init, ab, 50, "pirorgrad",
+                             leak_drop=0.5)
+    ab_t = np.asarray(ab)[np.asarray(t)].reshape(-1, 1, 1, 1).astype(np.float32)
+    full = np.sqrt(ab_t) * np.asarray(clean) + np.sqrt(1 - ab_t) * np.asarray(noise)
+    dropped = np.sqrt(1 - ab_t) * np.asarray(noise)
+    kept_rows, dropped_rows = 0, 0
+    for b in range(16):
+        if np.allclose(np.asarray(x_t)[b], full[b], atol=1e-6):
+            kept_rows += 1
+        elif np.allclose(np.asarray(x_t)[b], dropped[b], atol=1e-6):
+            dropped_rows += 1
+    assert kept_rows + dropped_rows == 16
+    assert kept_rows > 0 and dropped_rows > 0
 
 
 def test_qsample_leak_drop_zero_is_reference_path(rng):
