@@ -90,6 +90,7 @@ def l1_loss(esti, label):
     return jnp.mean(jnp.abs(esti - label))
 
 
+@LOSSES.register("pesq_loss")
 def pesq_loss(esti, label, frame_nums, feat_type: str = "sqrt") -> float:
     """``4.5 - mean PESQ`` over the batch (utils/loss.py:74-113).
 

@@ -47,12 +47,24 @@ def _ladder_rows(count: int, batch_size: int) -> int:
     return min(rows, max(batch_size, count))
 
 
+# Measured serving optimum (docs/PERF_r3_notes.md): rows=8 is the best
+# per-utterance point (6.4 ms/utt bf16) and 8 < rows < 16 sits in a
+# worse MXU tiling regime (10.3 ms/utt at rows=12), so row groups
+# larger than 8 are split 8+remainder rather than compiled as one
+# wide shape — 2x8 beats 1x12 and 1x16 per utterance.
+_ROWS_OPT = 8
+
+
 def _buckets(lengths: Sequence[int], batch_size: int, bucket_samples: int):
     order = np.argsort(lengths)
+    groups = []
     for i in range(0, len(order), batch_size):
-        idx = order[i : i + batch_size]
+        grp = order[i : i + batch_size]
+        groups += [grp[k : k + _ROWS_OPT]
+                   for k in range(0, len(grp), _ROWS_OPT)]
+    for idx in groups:
         pad_to = _ladder_pad(max(lengths[j] for j in idx), bucket_samples)
-        rows = _ladder_rows(len(idx), batch_size)
+        rows = _ladder_rows(len(idx), min(batch_size, _ROWS_OPT))
         if (rows, pad_to) not in _seen_shapes:
             _seen_shapes.add((rows, pad_to))
             logging.info("enhance: new jit shape rows=%d pad=%d "

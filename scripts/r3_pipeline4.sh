@@ -1,4 +1,12 @@
 #!/bin/bash
+# SUPERSEDED by r3_pipeline5.sh (kept for the round-3 record): the
+# stage-L description below predates the committed x0_leak_drop
+# implementation.  The committed semantics is a HARD zero of the x_t
+# signal content (not soft U[0,1) attenuation — that design was
+# refuted by tests/test_sampler_theory.py before reaching the chip),
+# and p=0.5 is the mixed-population regime the same theory pins as
+# WORSE than the prior; the supported operating point is p=1.0
+# (r3_pipeline5.sh / scripts/r4_jobs/10_p300x0l.sh).  Do not run this.
 # Round-3 chip pipeline v4 — the x0_leak_drop capability experiment.
 #
 # Context (docs/residual_capability_r3.md E9-TPU): against the 300-step

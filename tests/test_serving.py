@@ -78,6 +78,28 @@ def test_bucket_ladder_bounds_compiles(rng):
         np.testing.assert_allclose(o, w, atol=1e-5)
 
 
+def test_bucket_ladder_splits_wide_groups():
+    """Row groups larger than the measured rows=8 serving optimum are
+    split 8+remainder (docs/PERF_r3_notes.md: rows=12 is the worst
+    per-utt point; round-3 verdict weak #6).  A 12-file directory with
+    batch_size=12 must never compile a rows-12 shape."""
+    from prior_diffuse_tpu.serving.enhance import _buckets
+
+    lengths = [16_000] * 12
+    shapes = [(len(idx), rows) for idx, rows, _ in
+              _buckets(lengths, batch_size=12, bucket_samples=16_000)]
+    assert [r for _, r in shapes] == [8, 4]
+    assert sum(c for c, _ in shapes) == 12
+    # batch sizes <= 8 keep their existing ladder behavior
+    shapes = [rows for _, rows, _ in
+              _buckets(lengths, batch_size=6, bucket_samples=16_000)]
+    assert shapes == [6, 6]
+    # 16 files at batch 16: two rows=8 shapes (2x8 beats 1x16 per utt)
+    shapes = [rows for _, rows, _ in
+              _buckets([8_000] * 16, batch_size=16, bucket_samples=16_000)]
+    assert shapes == [8, 8]
+
+
 def test_streaming_vs_wholefile_real_model(tmp_path):
     """Streaming (chunk + crossfade) vs whole-file enhancement with real
     (random-init) trainer weights — pins what streaming actually
