@@ -14,9 +14,14 @@ the ITU reference values.  It is therefore OFF by default; enable via
 ``PDT_APPROX_PESQ=1`` or by calling :func:`pesq_approx` explicitly.
 When the real binding exists it always wins (see ``metrics.pesq``).
 
-Validation status (error bar): in this environment the true P.862.2
-binding is absent, so absolute MOS deviation is UNMEASURED — treat
-these scores as *ordinal*.  What is pinned by tests
+Validation status (error bar): the true P.862.2 binding is absent in
+this image and **unobtainable** (zero network egress; neither the
+python-pesq sdist nor the ITU C source exists on disk — the measured
+acquisition attempt is recorded in ``docs/PESQ_DECISION_r4.md``), so
+the absolute MOS deviation is unmeasurable here; treat these scores as
+*ordinal*.  In a binding-bearing environment,
+``tests/test_pesq_approx.py::test_against_real_binding_when_present``
+measures the deviation battery directly.  What is pinned by tests
 (``tests/test_pesq_approx.py``): perfect-copy scores 4.64; strict
 monotonicity with severity under additive noise, lowpass filtering and
 clipping, each spanning >1.5 MOS; gain/shift invariance; and rank

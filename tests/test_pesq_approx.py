@@ -128,6 +128,33 @@ def test_env_gate(monkeypatch):
     assert s is not None and 1.0 <= s <= 4.64
 
 
+def test_against_real_binding_when_present():
+    """Deviation battery vs true P.862 — runs only where the real
+    binding exists (unobtainable in this image: zero egress, no source
+    on disk — docs/PESQ_DECISION_r4.md records the measured attempt).
+    In a binding-bearing environment this measures the approximation's
+    absolute error bar and rank agreement over a noise battery."""
+    from prior_diffuse_tpu.metrics import pesq as pq
+
+    if not pq.HAVE_PESQ:
+        pytest.skip("real P.862 binding absent (see docs/PESQ_DECISION_r4.md)")
+    rng = np.random.default_rng(21)
+    _, clean = synthetic.make_utterance(rng, 48000, snr_db=5.0)
+    clean = clean.astype(np.float64)
+    approx, true = [], []
+    for snr in (30, 20, 12, 6, 0, -6):
+        noise = rng.standard_normal(len(clean))
+        noise *= np.sqrt(np.mean(clean**2) / np.mean(noise**2)) * 10 ** (-snr / 20)
+        deg = clean + noise
+        approx.append(pesq_approx(clean, deg))
+        true.append(float(pq._pesq_inner(16000, clean.astype(np.float32),
+                                         deg.astype(np.float32), "wb")))
+    dev = max(abs(a - t) for a, t in zip(approx, true))
+    print(f"approx-vs-P.862 max abs deviation: {dev:.3f} "
+          f"(approx={approx}, true={true})")
+    assert _spearman(approx, true) >= 0.9
+
+
 def test_reverb_battery_monotone():
     """Reverberation family (round-2 verdict item 8): synthetic
     exponential-decay RIRs with growing T60 must yield decreasing
