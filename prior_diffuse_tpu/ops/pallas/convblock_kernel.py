@@ -62,7 +62,7 @@ def _stage_kernel(xe0, xe1, xo0, xo1, w1, b1, wp, bp, wg, bg, w2, b2, a,
         fe = v.shape[1]
         y = jnp.dot(v.reshape(tb * fe, cin).astype(dtype), w1[:],
                     preferred_element_type=jnp.float32)
-        return (y + b1[:]).reshape(tb, fe, _GATE)
+        return (y + b1[0]).reshape(tb, fe, _GATE)
 
     e0, o0 = conv1(xe0), conv1(xo0)   # time offset 0
     e1, o1 = conv1(xe1), conv1(xo1)   # time offset 1
@@ -129,12 +129,16 @@ def fused_enc_stage(x, w1, b1, wp, bp, wg, bg, w2, b2, alpha,
 
     args = (xe[:, :-1], xe[:, 1:], xo[:, :-1], xo[:, 1:])
     cast = lambda w: w.astype(dtype)
-    # conv1 bias as one [B, 32] row per batch: the time-embedding
+    # conv1 bias as one [B, 1, 32] row per batch: the time-embedding
     # projection folds through the 1x1 conv (see module docstring).
+    # Kept 3-D so the per-batch block is (1, 1, 32) — TPU block rules
+    # need the last two dims divisible by (8, 128) OR equal to the
+    # array's; (1, 32) on a [B, 32] array satisfies neither.
     b1b = jnp.broadcast_to(b1.astype(jnp.float32)[None, :], (b, _GATE))
     if tproj is not None:
         b1b = b1b + jnp.dot(tproj.astype(dtype), cast(w1),
                             preferred_element_type=jnp.float32)
+    b1b = b1b[:, None, :]
     weights = (cast(w1), b1b,
                cast(wp), bp.astype(jnp.float32).reshape(1, -1),
                cast(wg), bg.astype(jnp.float32).reshape(1, -1),
@@ -148,7 +152,7 @@ def fused_enc_stage(x, w1, b1, wp, bp, wg, bg, w2, b2, alpha,
     w_spec = lambda arr: pl.BlockSpec(
         arr.shape, lambda bi, ti: (0,) * arr.ndim,
         memory_space=pltpu.VMEM)
-    b1_spec = pl.BlockSpec((1, _GATE), lambda bi, ti: (bi, 0),
+    b1_spec = pl.BlockSpec((1, 1, _GATE), lambda bi, ti: (bi, 0, 0),
                            memory_space=pltpu.VMEM)
 
     w_specs = [w_spec(w) for w in weights]
