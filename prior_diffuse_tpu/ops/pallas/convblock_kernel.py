@@ -1,4 +1,4 @@
-"""Fused Pallas encoder-stage kernel for the DiffUNet family.
+"""Fused encoder-stage kernels for the DiffUNet family.
 
 One encoder stage (``models/diffunet.py::Encoder`` — causal pad +
 ``BiConvGLU`` + inference BatchNorm + PReLU; reference
@@ -7,32 +7,47 @@ convolutions on the XLA path: conv1 (1x1, Cin->32), the l/r pair conv
 ((2,k), stride (1,2), fused to 32->64), two 1x1 gate convs, conv2
 (1x1, 32->64), then BN + PReLU.  XLA compiles each conv as its own
 fusion, so five stage-internal intermediates round-trip HBM per stage.
-This kernel computes the whole stage in VMEM as a chain of five MXU
-matmuls — the only HBM traffic is the stage input and output.
 
-TPU-first construction (see the pallas guide):
+TPU-first construction (see the pallas guide).  A first design kept
+the whole stage in one kernel with rank-3 blocks and in-kernel
+``[tb, fe, cin] -> [tb*fe, cin]`` reshapes; Mosaic rejects that cast
+("infer-vector-layout: unsupported shape cast") because with Cin=2 the
+channels-last layout leaves the lane dimension 2/128 occupied and the
+merge needs a full relayout.  The shipped design splits the work by
+what each compiler is good at:
 
-* the (1,2) frequency stride never becomes a strided gather: the input
-  is pre-split (in XLA, where it fuses) into even/odd frequency
-  columns, and every window element is then a *static contiguous*
-  slice.  With VALID padding and odd F/k the natural even/odd extents
-  are exactly what the windows need (no frequency padding at all);
-* the time-kernel (2) neighbor row comes from passing the array twice,
-  once shifted by one frame (the stft_kernel trick) — blocks stay
-  non-overlapping and sublane-aligned;
+* **XLA does the data movement**: causal pad, the stride-(1,2) window
+  gather (im2col — static strided slices that fuse into one copy), and
+  the row-flatten ``[B, T, Fo, K] -> [B, T*Fo, K]`` that is free at the
+  XLA layout level and unsupported inside Mosaic;
+* **the Pallas kernel does the math**: a rank-2-only chain of three MXU
+  matmuls (window matmul -> block-diagonal gate matmul -> conv2) with
+  the GLU cross-gate, folded inference BN, and PReLU applied
+  in-register — one HBM read (the im2col block) and one write (the
+  stage output) instead of five intermediate round-trips;
+* conv1 composes away where it shrinks the contraction: for Cin<32
+  (stage 1: Cin=2) the 1x1 conv1 commutes with the window gather, so
+  ``window(conv1(x)) @ Wp == window(x) @ (W1 compose Wp)`` with
+  K=2k*Cin=20 instead of 2k*32=320 — conv1 costs *negative* time.  For
+  Cin=64 composition would double K, so conv1 runs as its own XLA 1x1
+  matmul (a shape XLA already handles at full MXU tile) and only the
+  window chain is fused;
 * the two 32-wide gate convs run as ONE 64-wide matmul with a
   block-diagonal weight (half the MACs are structural zeros, but one
   64-lane MXU pass beats two 32-lane passes);
 * time conditioning (DiffUNet1 adds a Dense(512 -> Cin) projection of
   the t-embedding to the padded stage input, reference
-  ``model/diff3.py:150-153``) folds through the 1x1 conv1:
-  ``conv1(x + tp) = conv1(x) + tp @ w1`` — a per-batch bias row, so the
-  fused stage needs no extra in-kernel work at all;
-* inference BatchNorm is folded into conv2's weights/bias on the host
-  side of the call (scale absorbed into w2, shift into b2), and PReLU
-  is applied in-register before the single output store.
+  ``model/diff3.py:150-153``) folds through the 1x1 conv1 / the
+  composed window weight into a per-batch bias row — no in-kernel work;
+* inference BatchNorm folds into conv2's weight/bias; PReLU applies
+  before the single output store.
 
-Serving-path only (forward; training keeps the XLA path and its
+``encoder_xla`` runs the *same* math (im2col + matmul chain) entirely
+in XLA — the ablation that separates "matmul-chain formulation" from
+"Pallas fusion" when the two are benchmarked against the flax conv
+path (``scripts/bench_convblock.py``).
+
+Serving-path only (forward; training keeps the flax path and its
 autodiff).  Parity vs the flax Encoder is pinned by
 ``tests/test_pallas_kernels.py``; adoption is measurement-gated like
 the Pallas STFT (``PDT_PALLAS=1``).
@@ -41,7 +56,6 @@ the Pallas STFT (``PDT_PALLAS=1``).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -52,40 +66,165 @@ from jax.experimental.pallas import tpu as pltpu
 _GATE = 32  # BiConvGLU internal width (reference model/diff.py:231-250)
 
 
-def _stage_kernel(xe0, xe1, xo0, xo1, w1, b1, wp, bp, wg, bg, w2, b2, a,
-                  out_ref, *, k: int, fo: int, tb: int, cin: int,
-                  dtype):
-    """One (batch-row, time-tile) block of a full encoder stage."""
+# ---------------------------------------------------------------------------
+# XLA-side data movement
+# ---------------------------------------------------------------------------
 
-    def conv1(ref):
-        v = ref[0]  # [tb, fe, cin]
-        fe = v.shape[1]
-        y = jnp.dot(v.reshape(tb * fe, cin).astype(dtype), w1[:],
-                    preferred_element_type=jnp.float32)
-        return (y + b1[0]).reshape(tb, fe, _GATE)
 
-    e0, o0 = conv1(xe0), conv1(xo0)   # time offset 0
-    e1, o1 = conv1(xe1), conv1(xo1)   # time offset 1
-    parts = []
-    for e, o in ((e0, o0), (e1, o1)):       # kt = 0, 1
-        for kf in range(k):                  # freq window elements
-            src = e if kf % 2 == 0 else o
-            off = kf // 2
-            parts.append(src[:, off:off + fo, :])
-    col = jnp.concatenate(parts, axis=-1).reshape(tb * fo, 2 * k * _GATE)
-    y = jnp.dot(col.astype(dtype), wp[:],
-                preferred_element_type=jnp.float32) + bp[:]
-    left, right = y[:, :_GATE], y[:, _GATE:]
+def _im2col(xp, k: int, fo: int):
+    """Window-gather the causally padded ``xp [B, T+1, F, C]`` for a
+    (2, k) kernel with stride (1, 2) VALID: returns ``[B, T, fo, 2*k*C]``
+    with (kt, kf, c) row-major element order (c innermost), matching
+    the packed window weights."""
+    t = xp.shape[1] - 1
+    cols = []
+    for kt in range(2):
+        xt = xp[:, kt : kt + t]
+        for kf in range(k):
+            cols.append(xt[:, :, kf : kf + 2 * (fo - 1) + 1 : 2, :])
+    return jnp.concatenate(cols, axis=-1)
+
+
+def _glu_chain_xla(col2, bias_b, wg, bg, w2, b2, alpha, dtype):
+    """The stage math after im2col, in plain XLA: window matmul ->
+    block-diag gate matmul -> cross gate -> folded conv2+BN -> PReLU.
+    ``col2 [B, R, K]`` (rows already weight-multiplied? no: raw cols),
+    ``bias_b [B, 1, 64]``."""
+    y = col2 + bias_b.astype(col2.dtype)
+    m = jnp.einsum("brk,kj->brj", y.astype(dtype), wg.astype(dtype)
+                   ).astype(jnp.float32) + bg
+    left, right = y[..., :_GATE], y[..., _GATE:]
+    lmask = jax.nn.sigmoid(m[..., :_GATE])
+    rmask = jax.nn.sigmoid(m[..., _GATE:])
+    comb = left * rmask + right * lmask
+    y2 = jnp.einsum("brk,kj->brj", comb.astype(dtype), w2.astype(dtype)
+                    ).astype(jnp.float32) + b2
+    return jnp.where(y2 >= 0, y2, alpha * y2)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel: rank-2 matmul chain
+# ---------------------------------------------------------------------------
+
+
+def _chain_kernel(col, w, b, wg, bg, w2, b2, a, out_ref, *, dtype):
+    """One (batch, row-tile) block: [rt, K] @ [K, 64] -> gate -> conv2.
+    Strictly rank-2 in-kernel (Mosaic-safe)."""
+    v = col[0]  # [rt, K]
+    y = jnp.dot(v.astype(dtype), w[:],
+                preferred_element_type=jnp.float32) + b[0]
     m = jnp.dot(y.astype(dtype), wg[:],
                 preferred_element_type=jnp.float32) + bg[:]
-    lmask = jax.nn.sigmoid(m[:, :_GATE])   # sigmoid(l_conv(left))
-    rmask = jax.nn.sigmoid(m[:, _GATE:])   # sigmoid(r_conv(right))
+    left, right = y[:, :_GATE], y[:, _GATE:]
+    lmask = jax.nn.sigmoid(m[:, :_GATE])
+    rmask = jax.nn.sigmoid(m[:, _GATE:])
     comb = left * rmask + right * lmask
     y2 = jnp.dot(comb.astype(dtype), w2[:],
                  preferred_element_type=jnp.float32) + b2[:]
     alpha = a[0, 0]
-    y2 = jnp.where(y2 >= 0, y2, alpha * y2)
-    out_ref[0] = y2.reshape(tb, fo, out_ref.shape[-1]).astype(out_ref.dtype)
+    out_ref[0] = jnp.where(y2 >= 0, y2, alpha * y2).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile_r", "dtype", "interpret"),
+)
+def _chain_pallas(col, w, bias_b, wg, bg, w2, b2, alpha, *,
+                  tile_r: int = 256, dtype=jnp.bfloat16,
+                  interpret: bool = False):
+    """Run the post-im2col chain on ``col [B, R, K]`` with per-batch
+    bias ``bias_b [B, 1, 64]`` -> ``[B, R, 64]``."""
+    b, r, k = col.shape
+    cout = w2.shape[-1]
+    rt = min(tile_r, r)
+    r_pad = -(-r // rt) * rt
+    if r_pad != r:
+        col = jnp.pad(col, ((0, 0), (0, r_pad - r), (0, 0)))
+
+    cast = lambda a_: a_.astype(dtype)
+    weights = (cast(w), bias_b.astype(jnp.float32),
+               cast(wg), bg.astype(jnp.float32).reshape(1, -1),
+               cast(w2), b2.astype(jnp.float32).reshape(1, -1))
+    alpha2d = jnp.asarray(alpha, jnp.float32).reshape(1, 1)
+
+    grid = (b, r_pad // rt)
+    w_spec = lambda arr: pl.BlockSpec(
+        arr.shape, lambda bi, ri: (0,) * arr.ndim,
+        memory_space=pltpu.VMEM)
+    w_specs = [w_spec(w_) for w_ in weights]
+    # per-batch bias: block (1, 1, 64) — last two dims equal the array's
+    w_specs[1] = pl.BlockSpec((1, 1, weights[1].shape[-1]),
+                              lambda bi, ri: (bi, 0, 0),
+                              memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_chain_kernel, dtype=dtype),
+        out_shape=jax.ShapeDtypeStruct((b, r_pad, cout), dtype),
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, rt, k), lambda bi, ri: (bi, ri, 0),
+                               memory_space=pltpu.VMEM)]
+        + w_specs
+        + [pl.BlockSpec((1, 1), lambda bi, ri: (0, 0),
+                        memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((1, rt, cout), lambda bi, ri: (bi, ri, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(col, *weights, alpha2d)
+    return out[:, :r]
+
+
+# ---------------------------------------------------------------------------
+# Stage + encoder drivers
+# ---------------------------------------------------------------------------
+
+
+def fused_enc_stage(x, ops, tproj=None, *, tile_r: int = 256,
+                    dtype=jnp.bfloat16, interpret: bool = False,
+                    use_pallas: bool = True):
+    """One encoder stage on ``x [B, T, F, Cin]`` -> ``[B, T, Fo, 64]``.
+
+    ``ops`` comes from :func:`encoder_stage_params`.  ``tproj [B, Cin]``
+    is the optional time-embedding projection added to the padded stage
+    input.  ``use_pallas=False`` runs the identical math in XLA (the
+    formulation ablation).
+    """
+    b, t, f, cin = x.shape
+    k = ops["kf"]
+    fo = (f - k) // 2 + 1
+    xp = jnp.pad(x, ((0, 0), (1, 0), (0, 0), (0, 0)))
+
+    if ops["pre"] is not None:  # separate XLA conv1 (Cin >= 32)
+        w1, b1 = ops["pre"]
+        bias1 = b1[None, None, None, :]
+        if tproj is not None:
+            bias1 = bias1 + jnp.einsum(
+                "bc,cg->bg", tproj.astype(x.dtype), w1.astype(x.dtype)
+            )[:, None, None, :].astype(jnp.float32)
+        xp = (jnp.einsum("btfc,cg->btfg", xp.astype(dtype),
+                         w1.astype(dtype)).astype(jnp.float32)
+              + bias1).astype(x.dtype)
+        bias_b = jnp.broadcast_to(ops["bmain"][None, None, :], (b, 1, 64))
+    else:  # conv1 composed into the window weight (Cin < 32)
+        bias_b = jnp.broadcast_to(ops["bmain"][None, None, :], (b, 1, 64))
+        if tproj is not None:
+            bias_b = bias_b + jnp.einsum(
+                "bc,cj->bj", tproj.astype(x.dtype),
+                ops["wcsum"].astype(x.dtype)
+            )[:, None, :].astype(jnp.float32)
+
+    col = _im2col(xp, k, fo)                       # [B, T, fo, K]
+    col2 = col.reshape(b, t * fo, -1)              # free in XLA
+
+    if use_pallas:
+        out = _chain_pallas(col2, ops["wmain"], bias_b, ops["wg"],
+                            ops["bg"], ops["w2"], ops["b2"], ops["alpha"],
+                            tile_r=tile_r, dtype=dtype, interpret=interpret)
+    else:
+        y = jnp.einsum("brk,kj->brj", col2.astype(dtype),
+                       ops["wmain"].astype(dtype)).astype(jnp.float32)
+        out = _glu_chain_xla(y, bias_b, ops["wg"], ops["bg"], ops["w2"],
+                             ops["b2"], ops["alpha"], dtype).astype(dtype)
+    return out.reshape(b, t, fo, -1)
 
 
 def _fold_bn(w2, b2, bn, eps=1e-5):
@@ -95,91 +234,9 @@ def _fold_bn(w2, b2, bn, eps=1e-5):
     return w2 * scale[None, :], b2 * scale + bn["bias"] - bn["mean"] * scale
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("kernel_f", "tile_t", "dtype", "interpret"),
-)
-def fused_enc_stage(x, w1, b1, wp, bp, wg, bg, w2, b2, alpha,
-                    tproj=None, *, kernel_f: int, tile_t: int = 64,
-                    dtype=jnp.bfloat16, interpret: bool = False):
-    """One encoder stage on ``x [B, T, F, Cin]`` -> ``[B, T, Fo, Cout]``.
-
-    Weights are pre-reshaped 2-D matmul operands (see
-    :func:`encoder_stage_params`); BN must already be folded into
-    ``w2/b2``.  ``kernel_f`` is the frequency kernel width (time kernel
-    is always 2 with causal padding, per the reference encoder).
-    ``tproj [B, Cin]`` is the optional time-embedding projection added
-    to the (padded) stage input — folded into a per-batch conv1 bias.
-    """
-    b, t, f, cin = x.shape
-    k = kernel_f
-    fo = (f - k) // 2 + 1
-    cout = w2.shape[-1]
-    tb = min(tile_t, t)
-    t_pad = -(-t // tb) * tb
-
-    # causal pad (1 left in T), tile pad (right), even/odd freq split,
-    # and the one-row time shift — all cheap XLA slices that fuse.
-    xp = jnp.pad(x, ((0, 0), (1, t_pad - t), (0, 0), (0, 0)))
-    xe, xo = xp[:, :, 0::2, :], xp[:, :, 1::2, :]
-    fe, fon = xe.shape[2], xo.shape[2]
-    need_e, need_o = fo + (k - 1) // 2, fo + max((k - 2) // 2, 0)
-    assert fe >= need_e and fon >= need_o, (f, k, fe, fon)
-    xe, xo = xe[:, :, :need_e, :], xo[:, :, :need_o, :]
-
-    args = (xe[:, :-1], xe[:, 1:], xo[:, :-1], xo[:, 1:])
-    cast = lambda w: w.astype(dtype)
-    # conv1 bias as one [B, 1, 32] row per batch: the time-embedding
-    # projection folds through the 1x1 conv (see module docstring).
-    # Kept 3-D so the per-batch block is (1, 1, 32) — TPU block rules
-    # need the last two dims divisible by (8, 128) OR equal to the
-    # array's; (1, 32) on a [B, 32] array satisfies neither.
-    b1b = jnp.broadcast_to(b1.astype(jnp.float32)[None, :], (b, _GATE))
-    if tproj is not None:
-        b1b = b1b + jnp.dot(tproj.astype(dtype), cast(w1),
-                            preferred_element_type=jnp.float32)
-    b1b = b1b[:, None, :]
-    weights = (cast(w1), b1b,
-               cast(wp), bp.astype(jnp.float32).reshape(1, -1),
-               cast(wg), bg.astype(jnp.float32).reshape(1, -1),
-               cast(w2), b2.astype(jnp.float32).reshape(1, -1))
-    alpha2d = jnp.asarray(alpha, jnp.float32).reshape(1, 1)
-
-    grid = (b, t_pad // tb)
-    x_spec = lambda fdim, c: pl.BlockSpec(
-        (1, tb, fdim, c), lambda bi, ti: (bi, ti, 0, 0),
-        memory_space=pltpu.VMEM)
-    w_spec = lambda arr: pl.BlockSpec(
-        arr.shape, lambda bi, ti: (0,) * arr.ndim,
-        memory_space=pltpu.VMEM)
-    b1_spec = pl.BlockSpec((1, 1, _GATE), lambda bi, ti: (bi, 0, 0),
-                           memory_space=pltpu.VMEM)
-
-    w_specs = [w_spec(w) for w in weights]
-    w_specs[1] = b1_spec
-
-    out = pl.pallas_call(
-        functools.partial(_stage_kernel, k=k, fo=fo, tb=tb, cin=cin,
-                          dtype=dtype),
-        out_shape=jax.ShapeDtypeStruct((b, t_pad, fo, cout), dtype),
-        grid=grid,
-        in_specs=[x_spec(need_e, cin), x_spec(need_e, cin),
-                  x_spec(need_o, cin), x_spec(need_o, cin)]
-        + w_specs
-        + [pl.BlockSpec((1, 1), lambda bi, ti: (0, 0),
-                        memory_space=pltpu.SMEM)],
-        out_specs=pl.BlockSpec((1, tb, fo, cout),
-                               lambda bi, ti: (bi, ti, 0, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(*args, *weights, alpha2d)
-    return out[:, :t]
-
-
 def encoder_stage_params(stage, bn, prelu, kernel_f: int):
     """Pack one flax Encoder stage's params (``convN`` BiConvGLU dict +
-    ``bnN`` param/batch_stats + ``preluN``) into the kernel's 2-D
-    matmul operands.  Returns (w1,b1,wp,bp,wg,bg,w2,b2,alpha)."""
+    ``bnN`` param/batch_stats + ``preluN``) into matmul-chain operands."""
     g = _GATE
 
     def kb(p):
@@ -193,21 +250,37 @@ def encoder_stage_params(stage, bn, prelu, kernel_f: int):
     w2, b2 = kb(stage["conv2"])            # [1,1,32,cout]
 
     cin = w1.shape[2]
+    w1 = w1.reshape(cin, g)
     wp = np.concatenate([wl, wr], axis=-1)          # [2,k,32,64]
-    wp2 = wp.reshape(2 * kernel_f * g, 2 * g)       # (kt,kf,ci) major
-    bp = np.concatenate([bl, br])
+    bp = np.concatenate([bl, br])                   # [64]
+
+    ops = {"kf": kernel_f}
+    if cin < g:
+        # compose conv1 into the window weight: K = 2*k*cin
+        wc = np.einsum("cg,tkgo->tkco", w1, wp)     # [2,k,cin,64]
+        ops["pre"] = None
+        ops["wmain"] = wc.reshape(2 * kernel_f * cin, 2 * g)
+        ops["bmain"] = bp + np.einsum("g,tkgo->o", b1, wp)
+        ops["wcsum"] = wc.sum(axis=(0, 1))          # [cin, 64] for tproj
+    else:
+        ops["pre"] = (w1, b1)
+        ops["wmain"] = wp.reshape(2 * kernel_f * g, 2 * g)
+        ops["bmain"] = bp
+        ops["wcsum"] = None
+
     # block-diagonal gate weight: [l r] @ [[wgl 0],[0 wgr]]
     wg = np.zeros((2 * g, 2 * g), wgl.dtype)
     wg[:g, :g] = wgl.reshape(g, g)
     wg[g:, g:] = wgr.reshape(g, g)
-    bg = np.concatenate([bgl, bgr])
-    w2f, b2f = _fold_bn(
+    ops["wg"] = wg
+    ops["bg"] = np.concatenate([bgl, bgr])
+    ops["w2"], ops["b2"] = _fold_bn(
         w2.reshape(g, -1), b2,
         {"scale": np.asarray(bn["scale"]), "bias": np.asarray(bn["bias"]),
          "mean": np.asarray(bn["mean"]), "var": np.asarray(bn["var"])},
     )
-    alpha = float(np.asarray(prelu["alpha"]).reshape(()))
-    return (w1.reshape(cin, g), b1, wp2, bp, wg, bg, w2f, b2f, alpha)
+    ops["alpha"] = float(np.asarray(prelu["alpha"]).reshape(()))
+    return ops
 
 
 _ENC_KERNELS = (5, 3, 3, 3, 3)  # frequency kernel per stage (_ENC_SPECS)
@@ -234,17 +307,24 @@ def pack_encoder(params, batch_stats):
 
 
 def encoder_pallas(x, packed, temb=None, *, dtype=jnp.bfloat16,
-                   tile_t: int = 64, interpret: bool = False):
+                   tile_r: int = 256, interpret: bool = False,
+                   use_pallas: bool = True):
     """Full 5-stage encoder forward (inference) on the fused kernels.
     ``temb [B, 512]`` is the time embedding for conditioned encoders
     (DiffUNet1); the tiny per-stage Dense runs in XLA, the projection
-    folds into the stage kernel's per-batch conv1 bias."""
+    folds into the stage's per-batch bias row."""
     skips = []
-    for kf, (sp, tp) in zip(_ENC_KERNELS, packed):
+    for ops, tp in packed:
         tproj = None
         if tp is not None and temb is not None:
-            tproj = jnp.dot(temb, tp[0]) + tp[1]
-        x = fused_enc_stage(x, *sp, tproj, kernel_f=kf, tile_t=tile_t,
-                            dtype=dtype, interpret=interpret)
+            tproj = jnp.dot(temb, tp[0].astype(temb.dtype)) + tp[1]
+        x = fused_enc_stage(x, ops, tproj, tile_r=tile_r, dtype=dtype,
+                            interpret=interpret, use_pallas=use_pallas)
         skips.append(x)
     return x, skips
+
+
+def encoder_xla(x, packed, temb=None, *, dtype=jnp.bfloat16):
+    """The matmul-chain formulation entirely in XLA (no Pallas) — the
+    ablation separating formulation from fusion."""
+    return encoder_pallas(x, packed, temb, dtype=dtype, use_pallas=False)

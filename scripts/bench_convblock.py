@@ -97,17 +97,24 @@ def main():
         pvars = {"params": jax.tree.map(jnp.asarray, params),
                  "batch_stats": jax.tree.map(jnp.asarray, stats)}
 
-        def xla_body(x):
-            y, _ = en.apply(pvars, x, tembd, False)
+        def feedback(x, y):
             # scalar feedback keeps the chain honest without changing shape
             return x + (jnp.sum(y) * jnp.asarray(1e-12, jnp.float32)
                         ).astype(x.dtype)
 
+        def conv_body(x):
+            y, _ = en.apply(pvars, x, tembd, False)
+            return feedback(x, y)
+
+        def chain_body(x):
+            y, _ = encoder_pallas(x, packed, tembd, dtype=dtype,
+                                  use_pallas=False)
+            return feedback(x, y)
+
         def pallas_body(x):
             y, _ = encoder_pallas(x, packed, tembd, dtype=dtype,
                                   interpret=SMOKE)
-            return x + (jnp.sum(y) * jnp.asarray(1e-12, jnp.float32)
-                        ).astype(x.dtype)
+            return feedback(x, y)
 
         def make(body):
             def build(k):
@@ -117,10 +124,13 @@ def main():
                 return run
             return build
 
-        ms_xla = micro_slope(make(xla_body), xd)
+        ms_xla = micro_slope(make(conv_body), xd)
+        ms_chain = micro_slope(make(chain_body), xd)
         ms_pal = micro_slope(make(pallas_body), xd)
-        results[f"encoder_xla_{dname}_ms"] = round(ms_xla, 4)
+        results[f"encoder_conv_{dname}_ms"] = round(ms_xla, 4)
+        results[f"encoder_xlachain_{dname}_ms"] = round(ms_chain, 4)
         results[f"encoder_pallas_{dname}_ms"] = round(ms_pal, 4)
+        results[f"chain_speedup_{dname}"] = round(ms_xla / ms_chain, 3)
         results[f"pallas_speedup_{dname}"] = round(ms_xla / ms_pal, 3)
         print(json.dumps({k: results[k] for k in results
                           if dname in k}), flush=True)

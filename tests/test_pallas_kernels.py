@@ -82,11 +82,16 @@ def test_fused_encoder_stage_matches_flax(rng):
                                 x, None, False)
     packed = pack_encoder(params, stats)
     y_pal, skips_pal = encoder_pallas(x, packed, dtype=jnp.float32,
-                                      tile_t=16, interpret=True)
+                                      tile_r=64, interpret=True)
     assert y_pal.shape == y_ref.shape
     for i, (a, b) in enumerate(zip(skips_pal, skips_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-4, err_msg=f"stage {i + 1}")
+    # the pure-XLA matmul-chain formulation must match too
+    y_xla, _ = encoder_pallas(x, packed, dtype=jnp.float32,
+                              use_pallas=False)
+    np.testing.assert_allclose(np.asarray(y_xla), np.asarray(y_ref),
+                               atol=2e-4)
 
 
 def test_fused_encoder_time_cond_matches_flax(rng):
@@ -111,8 +116,12 @@ def test_fused_encoder_time_cond_matches_flax(rng):
     packed = pack_encoder(params, stats)
     assert all(tp is not None for _, tp in packed)
     y_pal, skips_pal = encoder_pallas(x, packed, temb, dtype=jnp.float32,
-                                      tile_t=16, interpret=True)
+                                      tile_r=64, interpret=True)
     assert y_pal.shape == y_ref.shape
     for i, (a, b) in enumerate(zip(skips_pal, skips_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=3e-4, err_msg=f"stage {i + 1}")
+    y_xla, _ = encoder_pallas(x, packed, temb, dtype=jnp.float32,
+                              use_pallas=False)
+    np.testing.assert_allclose(np.asarray(y_xla), np.asarray(y_ref),
+                               atol=3e-4)
