@@ -38,9 +38,10 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 CHUNK = 48000
-BATCH = 6
+BATCH = int(os.environ.get("PDT_PROF_BATCH", "6"))
 N1, N2 = 1, 6
-OUT = "docs/PERF_r4.json"
+OUT = ("docs/PERF_r4.json" if BATCH == 6
+       else f"docs/PERF_r4_b{BATCH}.json")
 SMOKE = bool(os.environ.get("PDT_PROFILE_SMOKE"))
 if SMOKE:
     CHUNK = 8000
@@ -244,6 +245,15 @@ def main():
         seg["qsample_ms"] = timed(stage_qsample, rng, label, x_init_f32) * 1e3
         seg["ddpm_fwd_ms"] = timed(stage_ddpm_fwd, tr.state["ddpm"], x_t,
                                    cond, t) * 1e3
+        if dname == "bf16":
+            # separate the "cast f32 params in-graph" cost from the
+            # tiling story: serve pre-casts params once, train casts
+            # every step
+            ddpm_cast = jax.tree.map(
+                lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32
+                else p, tr.state["ddpm"])
+            seg["ddpm_fwd_precast_ms"] = timed(
+                stage_ddpm_fwd, ddpm_cast, x_t, cond, t) * 1e3
         seg["dis_vag_ms"] = timed(stage_dis_vag, tr.state, feat, label,
                                   frames) * 1e3
         seg["ddpm_vag_ms"] = timed(stage_ddpm_vag, tr.state, x_t, cond, t,
