@@ -59,7 +59,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -178,18 +177,20 @@ def _chain_pallas(col, w, bias_b, wg, bg, w2, b2, alpha, *,
 # ---------------------------------------------------------------------------
 
 
-def fused_enc_stage(x, ops, tproj=None, *, tile_r: int = 256,
-                    dtype=jnp.bfloat16, interpret: bool = False,
-                    use_pallas: bool = True):
+def fused_enc_stage(x, ops, tproj=None, *, kernel_f: int,
+                    tile_r: int = 256, dtype=jnp.bfloat16,
+                    interpret: bool = False, use_pallas: bool = True):
     """One encoder stage on ``x [B, T, F, Cin]`` -> ``[B, T, Fo, 64]``.
 
     ``ops`` comes from :func:`encoder_stage_params`.  ``tproj [B, Cin]``
     is the optional time-embedding projection added to the padded stage
-    input.  ``use_pallas=False`` runs the identical math in XLA (the
+    input.  ``kernel_f`` is static (shape math) and deliberately NOT in
+    ``ops`` so the whole ``ops`` pytree can be a jit *argument*.
+    ``use_pallas=False`` runs the identical math in XLA (the
     formulation ablation).
     """
     b, t, f, cin = x.shape
-    k = ops["kf"]
+    k = kernel_f
     fo = (f - k) // 2 + 1
     xp = jnp.pad(x, ((0, 0), (1, 0), (0, 0), (0, 0)))
 
@@ -230,17 +231,21 @@ def fused_enc_stage(x, ops, tproj=None, *, tile_r: int = 256,
 def _fold_bn(w2, b2, bn, eps=1e-5):
     """Fold inference BatchNorm (flax param/batch_stats dicts) into the
     conv2 weight/bias: y*g/sqrt(v+eps) + (beta - mean*g/sqrt(v+eps))."""
-    scale = bn["scale"] / np.sqrt(bn["var"] + eps)
+    scale = bn["scale"] / jnp.sqrt(bn["var"] + eps)
     return w2 * scale[None, :], b2 * scale + bn["bias"] - bn["mean"] * scale
 
 
 def encoder_stage_params(stage, bn, prelu, kernel_f: int):
     """Pack one flax Encoder stage's params (``convN`` BiConvGLU dict +
-    ``bnN`` param/batch_stats + ``preluN``) into matmul-chain operands."""
+    ``bnN`` param/batch_stats + ``preluN``) into matmul-chain operands.
+
+    Pure jnp ops so the whole pack runs under ONE jit when the params
+    live on the TPU (per-leaf device->host readbacks are ruinous on
+    this stack — CLAUDE.md)."""
     g = _GATE
 
     def kb(p):
-        return np.asarray(p["kernel"]), np.asarray(p["bias"])
+        return jnp.asarray(p["kernel"]), jnp.asarray(p["bias"])
 
     w1, b1 = kb(stage["conv1"])            # [1,1,cin,32]
     wl, bl = kb(stage["l"])                # [2,k,32,32]
@@ -251,16 +256,16 @@ def encoder_stage_params(stage, bn, prelu, kernel_f: int):
 
     cin = w1.shape[2]
     w1 = w1.reshape(cin, g)
-    wp = np.concatenate([wl, wr], axis=-1)          # [2,k,32,64]
-    bp = np.concatenate([bl, br])                   # [64]
+    wp = jnp.concatenate([wl, wr], axis=-1)         # [2,k,32,64]
+    bp = jnp.concatenate([bl, br])                  # [64]
 
-    ops = {"kf": kernel_f}
+    ops = {}
     if cin < g:
         # compose conv1 into the window weight: K = 2*k*cin
-        wc = np.einsum("cg,tkgo->tkco", w1, wp)     # [2,k,cin,64]
+        wc = jnp.einsum("cg,tkgo->tkco", w1, wp)    # [2,k,cin,64]
         ops["pre"] = None
         ops["wmain"] = wc.reshape(2 * kernel_f * cin, 2 * g)
-        ops["bmain"] = bp + np.einsum("g,tkgo->o", b1, wp)
+        ops["bmain"] = bp + jnp.einsum("g,tkgo->o", b1, wp)
         ops["wcsum"] = wc.sum(axis=(0, 1))          # [cin, 64] for tproj
     else:
         ops["pre"] = (w1, b1)
@@ -269,17 +274,17 @@ def encoder_stage_params(stage, bn, prelu, kernel_f: int):
         ops["wcsum"] = None
 
     # block-diagonal gate weight: [l r] @ [[wgl 0],[0 wgr]]
-    wg = np.zeros((2 * g, 2 * g), wgl.dtype)
-    wg[:g, :g] = wgl.reshape(g, g)
-    wg[g:, g:] = wgr.reshape(g, g)
+    wg = jnp.zeros((2 * g, 2 * g), wgl.dtype)
+    wg = wg.at[:g, :g].set(wgl.reshape(g, g))
+    wg = wg.at[g:, g:].set(wgr.reshape(g, g))
     ops["wg"] = wg
-    ops["bg"] = np.concatenate([bgl, bgr])
+    ops["bg"] = jnp.concatenate([bgl, bgr])
     ops["w2"], ops["b2"] = _fold_bn(
         w2.reshape(g, -1), b2,
-        {"scale": np.asarray(bn["scale"]), "bias": np.asarray(bn["bias"]),
-         "mean": np.asarray(bn["mean"]), "var": np.asarray(bn["var"])},
+        {"scale": jnp.asarray(bn["scale"]), "bias": jnp.asarray(bn["bias"]),
+         "mean": jnp.asarray(bn["mean"]), "var": jnp.asarray(bn["var"])},
     )
-    ops["alpha"] = float(np.asarray(prelu["alpha"]).reshape(()))
+    ops["alpha"] = jnp.asarray(prelu["alpha"]).reshape(())
     return ops
 
 
@@ -300,7 +305,7 @@ def pack_encoder(params, batch_stats):
              **batch_stats[f"bn{i}"]["BatchNorm_0"]},
             params[f"prelu{i}"], kf)
         tp = params.get(f"tp{i}")
-        tp = (np.asarray(tp["kernel"]), np.asarray(tp["bias"])) \
+        tp = (jnp.asarray(tp["kernel"]), jnp.asarray(tp["bias"])) \
             if tp is not None else None
         packed.append((ops, tp))
     return packed
@@ -314,12 +319,13 @@ def encoder_pallas(x, packed, temb=None, *, dtype=jnp.bfloat16,
     (DiffUNet1); the tiny per-stage Dense runs in XLA, the projection
     folds into the stage's per-batch bias row."""
     skips = []
-    for ops, tp in packed:
+    for (ops, tp), kf in zip(packed, _ENC_KERNELS):
         tproj = None
         if tp is not None and temb is not None:
             tproj = jnp.dot(temb, tp[0].astype(temb.dtype)) + tp[1]
-        x = fused_enc_stage(x, ops, tproj, tile_r=tile_r, dtype=dtype,
-                            interpret=interpret, use_pallas=use_pallas)
+        x = fused_enc_stage(x, ops, tproj, kernel_f=kf, tile_r=tile_r,
+                            dtype=dtype, interpret=interpret,
+                            use_pallas=use_pallas)
         skips.append(x)
     return x, skips
 

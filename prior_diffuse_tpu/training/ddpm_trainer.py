@@ -22,6 +22,7 @@ Functional core differences from the reference (deliberate, TPU-first):
 from __future__ import annotations
 
 import logging
+import os
 from functools import partial
 from typing import Optional
 
@@ -528,14 +529,20 @@ class ComplexDDPMTrainer(TrainerBase):
     def enhance_batch(self, noisy_padded, rng):
         """Full on-device enhance of an RMS-normalized padded batch
         ``[B, L] -> [B, L]`` (wav -> STFT -> prior -> scan sampler ->
-        decompress -> ISTFT), model compute in ``serve_dtype``."""
-        if getattr(self, "_enhance_dtype", None) != self.serve_dtype:
+        decompress -> ISTFT), model compute in ``serve_dtype``.
+
+        ``PDT_FUSED_ENC=pallas|xla`` opts the DDPM denoiser forwards
+        (85 % of the batch, docs/PERF_r3.json) onto the matmul-chain
+        encoder (``models/fused_forward.py``) — measurement-gated like
+        the Pallas STFT."""
+        fused = os.environ.get("PDT_FUSED_ENC", "")
+        if getattr(self, "_enhance_key", None) != (self.serve_dtype, fused):
             from prior_diffuse_tpu.signal.compress import decompress_spec
             from prior_diffuse_tpu.signal.stft import istft
 
             dt = self.serve_dtype
 
-            def impl(state, wav, rng):
+            def impl(state, packed, wav, rng):
                 cfg = self.cfg
                 feat = spec_features(wav, cfg)
                 x_init, _ = self._dis_apply(state["dis"], feat.astype(dt),
@@ -546,10 +553,27 @@ class ComplexDDPMTrainer(TrainerBase):
                 cond = self._cond(feat.astype(dt) / jnp.asarray(self.c, dt),
                                   x_init)
 
-                def model_fn(x, t):
-                    eps, _ = self._ddpm_apply(state["ddpm"], x.astype(dt),
-                                              cond, t.astype(dt), train=False)
-                    return eps.astype(dt)
+                if fused:
+                    from prior_diffuse_tpu.models.fused_forward import (
+                        fused_unet_forward)
+
+                    def model_fn(x, t):
+                        args = ((x.astype(dt), None)
+                                if self.mode == "deltamu"
+                                else (x.astype(dt), cond))
+                        eps = fused_unet_forward(
+                            packed, *args, t.astype(dt),
+                            num_steps=self.ddpm_model.num_steps,
+                            dtype=dt, use_pallas=fused == "pallas",
+                            # CPU (tests) has no Mosaic: interpret there
+                            interpret=jax.default_backend() == "cpu")
+                        return eps.astype(dt)
+                else:
+                    def model_fn(x, t):
+                        eps, _ = self._ddpm_apply(
+                            state["ddpm"], x.astype(dt), cond,
+                            t.astype(dt), train=False)
+                        return eps.astype(dt)
 
                 audio = reverse_sample(
                     model_fn, rng, x_init, x_init.shape, sched, self.mode,
@@ -565,13 +589,22 @@ class ComplexDDPMTrainer(TrainerBase):
                              win_shift=cfg.win_shift)
 
             self._enhance_jit = jax.jit(impl)
-            self._enhance_dtype = dt
+            self._enhance_key = (dt, fused)
             self._serve_src = None
         # re-derive the serve state whenever the training state object has
         # changed (train step / load_best / restore all rebind self.state),
         # so serving never runs on stale weights
         if getattr(self, "_serve_src", None) is not self.state:
-            dt = self._enhance_dtype
+            dt = self._enhance_key[0]
+            if fused:
+                from prior_diffuse_tpu.models.fused_forward import pack_unet
+
+                # ONE jitted pack: no per-leaf readbacks, results stay
+                # on device and are passed as jit arguments (never
+                # closed over — CLAUDE.md constant-reshipping trap)
+                self._serve_packed = jax.jit(pack_unet)(self.state["ddpm"])
+            else:
+                self._serve_packed = None
             if dt != jnp.float32:
                 cast = {
                     "dis": jax.tree.map(lambda p: p.astype(dt), self.state["dis"]),
@@ -582,7 +615,8 @@ class ComplexDDPMTrainer(TrainerBase):
                 self._serve_state = self.state
             self._serve_src = self.state
         wav = self.put_batch(noisy_padded)[0]
-        return self._enhance_jit(self._serve_state, wav, rng)
+        return self._enhance_jit(self._serve_state, self._serve_packed,
+                                 wav, rng)
 
     def load_best(self):
         restored = self.ckpt.restore_best(self.ckpt_template())
