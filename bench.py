@@ -129,8 +129,9 @@ def bench_enhance(jax, jnp, dtype):
     return BATCH * SECONDS / step, BATCH / step, step, flops
 
 
-def bench_train_step(jax, jnp, tmpdir, compute_dtype="float32"):
-    """Latency of the production joint train step (batch 6 x 48k)."""
+def bench_train_step(jax, jnp, tmpdir, compute_dtype="float32",
+                     batch=TRAIN_BATCH):
+    """Latency of the production joint train step (batch x 48k)."""
     from prior_diffuse_tpu.config import (
         DiffusionConfig, ExperimentConfig, ModelConfig, OptimConfig,
         RunConfig, TrainConfig,
@@ -139,11 +140,11 @@ def bench_train_step(jax, jnp, tmpdir, compute_dtype="float32"):
     from prior_diffuse_tpu.training import ComplexDDPMTrainer
 
     corpus = synthetic.write_corpus(
-        f"{tmpdir}/data", n_train=TRAIN_BATCH, n_test=2,
+        f"{tmpdir}/data", n_train=batch, n_test=2,
         min_len=CHUNK, max_len=CHUNK + 1600, seed=0,
     )
     exp = ExperimentConfig(
-        train=TrainConfig(batch_size=TRAIN_BATCH, n_epochs=1,
+        train=TrainConfig(batch_size=batch, n_epochs=1,
                           loss="com_mse_loss", chunk_length=CHUNK,
                           compute_dtype=compute_dtype),
         model=ModelConfig("DiffUNet"),
@@ -323,6 +324,12 @@ def main():
         train_step_bf16_s, flops_train_bf16 = bench_train_step(
             jax, jnp, tmp, compute_dtype="bfloat16"
         )
+    # the TPU-recommended configuration (batch 6 is a bad bf16 tiling
+    # regime — docs/PERF_r4_notes.md §1a): batch 8, bf16
+    with tempfile.TemporaryDirectory() as tmp:
+        train_step_b8_s, flops_train_b8 = bench_train_step(
+            jax, jnp, tmp, compute_dtype="bfloat16", batch=8
+        )
 
     stft_cmp = bench_stft_paths(jax, jnp)
 
@@ -338,6 +345,8 @@ def main():
         "train_utt_per_sec_f32": round(TRAIN_BATCH / train_step_s, 2),
         "train_step_ms_bf16_batch6": round(train_step_bf16_s * 1e3, 2),
         "train_utt_per_sec_bf16": round(TRAIN_BATCH / train_step_bf16_s, 2),
+        "train_step_ms_bf16_batch8": round(train_step_b8_s * 1e3, 2),
+        "train_utt_per_sec_bf16_b8": round(8 / train_step_b8_s, 2),
         "baseline_note": "vs torch-CPU single-core reference measurement "
                          "(no published reference hardware numbers exist)",
         **stft_cmp,
@@ -354,6 +363,10 @@ def main():
         extra["train_model_tflops_per_sec_bf16"] = round(
             flops_train_bf16 / train_step_bf16_s / 1e12, 2
         )
+    if flops_train_b8:
+        extra["train_model_tflops_per_sec_bf16_b8"] = round(
+            flops_train_b8 / train_step_b8_s / 1e12, 2
+        )
     if peak:
         if flops_enh:
             extra["mfu_enhance_bf16"] = round(flops_enh / step_bf16 / peak, 4)
@@ -365,6 +378,10 @@ def main():
         if flops_train_bf16:
             extra["mfu_train_bf16"] = round(
                 flops_train_bf16 / train_step_bf16_s / peak, 4
+            )
+        if flops_train_b8:
+            extra["mfu_train_bf16_b8"] = round(
+                flops_train_b8 / train_step_b8_s / peak, 4
             )
 
     # artifact self-check: a negative or non-finite timing is a harness
