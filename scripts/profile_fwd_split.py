@@ -137,11 +137,29 @@ def main():
                     xbot, skips, temb, False))
             return fb(xbot, outs[0] + outs[1])
 
+        # candidate: the two branches are structurally identical —
+        # vmap over stacked params turns every decoder conv into ONE
+        # conv at 2x batch instead of two small ones
+        dec_stacked = jax.tree.map(
+            lambda a, b_: jnp.stack([a, b_]),
+            {"params": params["core"]["de_real"],
+             "batch_stats": stats["core"]["de_real"]},
+            {"params": params["core"]["de_imag"],
+             "batch_stats": stats["core"]["de_imag"]})
+        dec_vmapped = jax.vmap(
+            lambda v, xb_: dec.apply(v, xb_, skips, temb, False),
+            in_axes=(0, None))
+
+        def dec_vmap_body(xbot):
+            y = dec_vmapped(dec_stacked, xbot)  # [2, B, T, 161, 1]
+            return fb(xbot, y)
+
         seg = {}
         seg["full_ms"] = micro_slope(make(full_body), x32.astype(dt))
         seg["encoder_ms"] = micro_slope(make(enc_body), x0)
         seg["tcm3_ms"] = micro_slope(make(tcm_body), flat0)
         seg["decoders_ms"] = micro_slope(make(dec_body), xb)
+        seg["decoders_vmap_ms"] = micro_slope(make(dec_vmap_body), xb)
         seg["pre_temb_residual_ms"] = (seg["full_ms"] - seg["encoder_ms"]
                                        - seg["tcm3_ms"] - seg["decoders_ms"])
         results[f"fwd_split_{dname}"] = {k: round(v, 4)
