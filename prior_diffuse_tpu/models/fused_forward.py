@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import Any, Dict
 
+import jax
 import jax.numpy as jnp
 
 from prior_diffuse_tpu.models import layers as tl
@@ -31,6 +32,151 @@ from prior_diffuse_tpu.ops.pallas.convblock_kernel import (
     encoder_pallas,
     pack_encoder,
 )
+
+
+_DEC_KERNELS = {5: 3, 4: 3, 3: 3, 2: 3, 1: 5}  # freq kernel per stage
+_G = 32  # BiConvTransGLU internal width
+
+
+def _dual_dec_stage(dr, di, bn, prelu, last: bool, cout: int):
+    """Block-diagonally merge one decoder stage's de_real/de_imag
+    BiConvTransGLU params into dual-branch operands.  Channel layout is
+    branch-major throughout: ``[real | imag]``."""
+    g = _G
+
+    def kb(p):
+        return jnp.asarray(p["kernel"]), jnp.asarray(p["bias"])
+
+    st: Dict[str, Any] = {}
+    w1r, b1r = kb(dr["conv1"])  # [1,1,128,32]
+    w1i, b1i = kb(di["conv1"])
+    cin = w1r.shape[2]          # 128 = branch x (64) || skip (64)
+    half = cin // 2
+    w1r = w1r.reshape(cin, g)
+    w1i = w1i.reshape(cin, g)
+    w1 = jnp.zeros((cin + half, 2 * g), w1r.dtype)
+    w1 = w1.at[:half, :g].set(w1r[:half])          # z_real rows
+    w1 = w1.at[half : cin, g:].set(w1i[:half])     # z_imag rows
+    w1 = w1.at[cin:, :g].set(w1r[half:])           # shared skip rows
+    w1 = w1.at[cin:, g:].set(w1i[half:])
+    st["w1"], b1 = w1, jnp.concatenate([b1r, b1i])
+    if "tp" in dr:  # fold the per-branch t-projection through conv1
+        tpw_r, tpb_r = kb(dr["tp"])  # [512,128],[128]
+        tpw_i, tpb_i = kb(di["tp"])
+        st["tp2b"] = jnp.concatenate(
+            [tpw_r @ w1r, tpw_i @ w1i], axis=1)    # [512, 64]
+        b1 = b1 + jnp.concatenate([tpb_r @ w1r, tpb_i @ w1i])
+    st["b1"] = b1
+
+    def pair(d):
+        (wl, bl), (wr_, br_) = kb(d["l"]), kb(d["r"])  # [2,k,32,32]
+        return jnp.concatenate([wl, wr_], -1), jnp.concatenate([bl, br_])
+
+    wp_r, bp_r = pair(dr)
+    wp_i, bp_i = pair(di)
+    kh, kw = wp_r.shape[:2]
+    wp = jnp.zeros((kh, kw, 2 * g, 4 * g), wp_r.dtype)
+    wp = wp.at[:, :, :g, : 2 * g].set(wp_r)
+    wp = wp.at[:, :, g:, 2 * g :].set(wp_i)
+    st["wp"], st["bp"] = wp, jnp.concatenate([bp_r, bp_i])
+
+    wg = jnp.zeros((4 * g, 4 * g), wp_r.dtype)
+    bg = []
+    for bi, d in enumerate((dr, di)):
+        for gi, name in enumerate(("l_conv", "r_conv")):
+            wk, bk = kb(d[name])  # [1,1,32,32]
+            off = (2 * bi + gi) * g
+            wg = wg.at[off : off + g, off : off + g].set(wk.reshape(g, g))
+            bg.append(bk)
+    st["wg"], st["bg"] = wg, jnp.concatenate(bg)
+
+    w2r, b2r = kb(dr["conv2"])  # [1,1,32,cout]
+    w2i, b2i = kb(di["conv2"])
+    w2 = jnp.zeros((2 * g, 2 * cout), w2r.dtype)
+    w2 = w2.at[:g, :cout].set(w2r.reshape(g, cout))
+    w2 = w2.at[g:, cout:].set(w2i.reshape(g, cout))
+    b2 = jnp.concatenate([b2r, b2i])
+    if not last:  # fold inference BN (commutes with the time chomp)
+        bnr, bni = bn
+        cat = lambda k: jnp.concatenate(
+            [jnp.asarray(bnr[k]), jnp.asarray(bni[k])])
+        scale = cat("scale") / jnp.sqrt(cat("var") + 1e-5)
+        w2 = w2 * scale[None, :]
+        b2 = b2 * scale + cat("bias") - cat("mean") * scale
+        ar = jnp.asarray(prelu[0]["alpha"]).reshape(())
+        ai = jnp.asarray(prelu[1]["alpha"]).reshape(())
+        st["alpha"] = jnp.concatenate(
+            [jnp.broadcast_to(ar, (cout,)), jnp.broadcast_to(ai, (cout,))])
+    st["w2"], st["b2"] = w2, b2
+    return st
+
+
+def pack_dual_decoder(core_params, core_stats):
+    """Pack the two Decoder branches (``de_real``/``de_imag``) into one
+    block-diagonal dual-branch stage list: every conv in the two
+    structurally identical branches becomes ONE op at doubled lane
+    width (the encoder-kernel gate trick at branch scale).  Pure jnp —
+    jit the call when params live on device."""
+    pr, pi = core_params["de_real"], core_params["de_imag"]
+    sr, si = core_stats["de_real"], core_stats["de_imag"]
+    stages = []
+    for idx in (5, 4, 3, 2, 1):
+        last = idx == 1
+        bn = prelu = (None, None)
+        if not last:
+            bn = ({**pr[f"bn{idx}"]["BatchNorm_0"],
+                   **sr[f"bn{idx}"]["BatchNorm_0"]},
+                  {**pi[f"bn{idx}"]["BatchNorm_0"],
+                   **si[f"bn{idx}"]["BatchNorm_0"]})
+            prelu = (pr[f"prelu{idx}"], pi[f"prelu{idx}"])
+        stages.append(_dual_dec_stage(
+            pr[f"de{idx}"], pi[f"de{idx}"], bn, prelu, last,
+            1 if last else 64))
+    return stages
+
+
+def dual_decoder_forward(stages, x, skips, temb=None, *,
+                         dtype=jnp.bfloat16):
+    """Both decoder branches in one op chain.  ``x [B, T, 4, 64]`` is
+    the bottleneck, ``skips`` the encoder outputs; returns
+    ``[B, T, 161, 2]`` with channels ``[real | imag]`` — exactly the
+    flax ``concat([de_real(...), de_imag(...)], -1)``."""
+    from prior_diffuse_tpu.models import layers as tl
+
+    def mm(a, w, b):
+        return (jnp.einsum("btfc,cd->btfd", a.astype(dtype),
+                           w.astype(dtype),
+                           preferred_element_type=jnp.float32)
+                + b).astype(a.dtype)
+
+    z = jnp.concatenate([x, x], axis=-1)  # stage-1 branch inputs equal
+    for st, skip in zip(stages, reversed(skips)):
+        inp = jnp.concatenate([z, skip.astype(z.dtype)], axis=-1)
+        b1 = st["b1"]
+        if temb is not None and "tp2b" in st:
+            b1 = b1 + jnp.einsum("bc,cd->bd", temb.astype(dtype),
+                                 st["tp2b"].astype(dtype),
+                                 preferred_element_type=jnp.float32)
+            b1 = b1[:, None, None, :]
+        h = mm(inp, st["w1"], b1)
+        y = tl.conv_transpose(h, st["wp"], st["bp"], (1, 2), (0, 0),
+                              dtype=dtype).astype(z.dtype)
+        m = mm(y, st["wg"], st["bg"])
+        gate = jax.nn.sigmoid(m)
+        g = _G
+        comb = jnp.concatenate(
+            [y[..., :g] * gate[..., g : 2 * g]
+             + y[..., g : 2 * g] * gate[..., :g],
+             y[..., 2 * g : 3 * g] * gate[..., 3 * g :]
+             + y[..., 3 * g :] * gate[..., 2 * g : 3 * g]],
+            axis=-1)
+        out = mm(comb, st["w2"], st["b2"])
+        out = tl.chomp_time_end(out, 1)
+        if "alpha" in st:
+            a = st["alpha"].astype(out.dtype)
+            out = jnp.where(out >= 0, out, a * out)
+        z = out
+    return z
 
 
 def pack_unet(variables) -> Dict[str, Any]:
@@ -47,6 +193,7 @@ def pack_unet(variables) -> Dict[str, Any]:
                         if k != "en"},
         "core_stats": {k: stats["core"][k] for k in stats["core"]
                        if k != "en"},
+        "dual_dec": pack_dual_decoder(params["core"], stats["core"]),
     }
     if "preprocess" in params:  # DiffUNet1's x/x_init merge conv
         k = jnp.asarray(params["preprocess"]["kernel"])  # [1,1,Cin,2]
@@ -60,6 +207,7 @@ def pack_unet(variables) -> Dict[str, Any]:
 def fused_unet_forward(packed, x, x_init=None, t=None, *,
                        num_steps: int = 50, dtype=jnp.bfloat16,
                        use_pallas: bool = True,
+                       dual_decoder: bool = False,
                        interpret: bool = False) -> jnp.ndarray:
     """Inference forward matching ``DiffUNet1(x, x_init, t)`` (both
     conditioning inputs), ``Nocon(x, t)`` (``x_init=None``), or
@@ -92,6 +240,9 @@ def fused_unet_forward(packed, x, x_init=None, t=None, *,
              "batch_stats": packed["core_stats"][f"tcm{i + 1}"]},
             flat, False)
     x = flat.reshape(b, tt, c, f).transpose(0, 1, 3, 2)
+    if dual_decoder:
+        return dual_decoder_forward(packed["dual_dec"], x, skips, temb,
+                                    dtype=dtype)
     real = Decoder(time_cond, dtype=dt).apply(
         core_vars("de_real"), x, skips, temb, False)
     imag = Decoder(time_cond, dtype=dt).apply(

@@ -154,12 +154,25 @@ def main():
             y = dec_vmapped(dec_stacked, xbot)  # [2, B, T, 161, 1]
             return fb(xbot, y)
 
+        # candidate 2: block-diagonal dual-branch decoder (one op chain
+        # at doubled lane width, models/fused_forward.py)
+        from prior_diffuse_tpu.models.fused_forward import (
+            dual_decoder_forward, pack_dual_decoder)
+        dual_stages = jax.jit(pack_dual_decoder)(params["core"],
+                                                 stats["core"])
+
+        def dec_dual_body(xbot):
+            y = dual_decoder_forward(dual_stages, xbot, skips, temb,
+                                     dtype=dt)
+            return fb(xbot, y)
+
         seg = {}
         seg["full_ms"] = micro_slope(make(full_body), x32.astype(dt))
         seg["encoder_ms"] = micro_slope(make(enc_body), x0)
         seg["tcm3_ms"] = micro_slope(make(tcm_body), flat0)
         seg["decoders_ms"] = micro_slope(make(dec_body), xb)
         seg["decoders_vmap_ms"] = micro_slope(make(dec_vmap_body), xb)
+        seg["decoders_dual_ms"] = micro_slope(make(dec_dual_body), xb)
         seg["pre_temb_residual_ms"] = (seg["full_ms"] - seg["encoder_ms"]
                                        - seg["tcm3_ms"] - seg["decoders_ms"])
         results[f"fwd_split_{dname}"] = {k: round(v, 4)

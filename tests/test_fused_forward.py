@@ -56,6 +56,12 @@ def test_fused_forward_diffunet1(rng):
                                interpret=True)
     np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
                                atol=3e-4)
+    # block-diagonal dual-branch decoder (both branches in one op chain)
+    y_dd = fused_unet_forward(packed, x, xi, t, num_steps=net.num_steps,
+                              dtype=jnp.float32, use_pallas=False,
+                              dual_decoder=True)
+    np.testing.assert_allclose(np.asarray(y_dd), np.asarray(y_ref),
+                               atol=3e-4)
 
 
 def test_enhance_batch_fused_matches_default(tmp_path, rng, monkeypatch):
@@ -114,3 +120,7 @@ def test_fused_forward_prior(rng):
     packed = pack_unet(v)
     y = fused_unet_forward(packed, x, dtype=jnp.float32, use_pallas=False)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=3e-4)
+    y_dd = fused_unet_forward(packed, x, dtype=jnp.float32,
+                              use_pallas=False, dual_decoder=True)
+    np.testing.assert_allclose(np.asarray(y_dd), np.asarray(y_ref),
+                               atol=3e-4)
