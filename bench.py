@@ -71,8 +71,11 @@ def _flops_of(lowered) -> float:
         return 0.0
 
 
-def bench_enhance(jax, jnp, dtype):
-    """RTF of the full enhancement jit at the given compute dtype."""
+def bench_enhance(jax, jnp, dtype, dual=False):
+    """RTF of the full enhancement jit at the given compute dtype.
+    ``dual=True`` measures the production bf16 default: both decoder
+    branches as one block-diagonal op chain (PDT_FUSED_ENC semantics,
+    docs/PERF_fwdsplit_r4.json)."""
     from prior_diffuse_tpu.config import DiffusionConfig, TrainConfig
     from prior_diffuse_tpu.diffusion import inference_schedule, reverse_sample
     from prior_diffuse_tpu.models import DiffUNet, DiffUNet1
@@ -94,16 +97,32 @@ def bench_enhance(jax, jnp, dtype):
     if dtype != jnp.float32:
         cast = lambda t: jax.tree.map(lambda p: p.astype(dtype), t)
         dis_vars, ddpm_vars = cast(dis_vars), cast(ddpm_vars)
+    if dual:
+        from prior_diffuse_tpu.models.fused_forward import (
+            fused_unet_forward, pack_unet)
+
+        # jit argument, never a closure (constant-reshipping trap)
+        ddpm_operand = jax.jit(pack_unet)(ddpm_vars)
+    else:
+        ddpm_operand = ddpm_vars
 
     @jax.jit
-    def enhance(dis_vars, ddpm_vars, wav, rng):
+    def enhance(dis_vars, ddpm_operand, wav, rng):
         feat = compress_spec(stft(wav), cfg.feat_type)
         x_init = (dis.apply(dis_vars, feat.astype(dtype), mutable=False)
                   .astype(dtype) / jnp.asarray(diff.scale_c, dtype))
 
-        def model_fn(x, t):
-            return ddpm.apply(ddpm_vars, x.astype(dtype), x_init,
-                              t.astype(dtype), mutable=False).astype(dtype)
+        if dual:
+            def model_fn(x, t):
+                return fused_unet_forward(
+                    ddpm_operand, x.astype(dtype), x_init, t.astype(dtype),
+                    num_steps=diff.num_steps, dtype=dtype,
+                    use_pallas=False, dual_decoder=True).astype(dtype)
+        else:
+            def model_fn(x, t):
+                return ddpm.apply(ddpm_operand, x.astype(dtype), x_init,
+                                  t.astype(dtype), mutable=False
+                                  ).astype(dtype)
 
         audio = reverse_sample(
             model_fn, rng, x_init, x_init.shape, sched, "pirorgrad",
@@ -114,18 +133,18 @@ def bench_enhance(jax, jnp, dtype):
         return istft(spec, length=wav.shape[-1])
 
     wav = jax.random.normal(k3, (BATCH, CHUNK)) * 0.1
-    float(jnp.sum(enhance(dis_vars, ddpm_vars, wav, k4)))  # compile + warmup
+    float(jnp.sum(enhance(dis_vars, ddpm_operand, wav, k4)))  # compile+warm
 
     def chained(n):
         t0 = time.time()
         w = wav
         for i in range(n):
-            w = enhance(dis_vars, ddpm_vars, w, jax.random.fold_in(k4, i))
+            w = enhance(dis_vars, ddpm_operand, w, jax.random.fold_in(k4, i))
         float(jnp.sum(w))  # scalar readback forces true completion
         return time.time() - t0
 
     step = _slope(chained)
-    flops = _flops_of(enhance.lower(dis_vars, ddpm_vars, wav, k4))
+    flops = _flops_of(enhance.lower(dis_vars, ddpm_operand, wav, k4))
     return BATCH * SECONDS / step, BATCH / step, step, flops
 
 
@@ -316,7 +335,12 @@ def main():
     peak = _peak_flops(jax.devices()[0])
 
     rtf_f32, utt_f32, step_f32, flops_enh = bench_enhance(jax, jnp, jnp.float32)
-    rtf_bf16, utt_bf16, step_bf16, _ = bench_enhance(jax, jnp, jnp.bfloat16)
+    rtf_flax, utt_flax, step_flax, _ = bench_enhance(jax, jnp, jnp.bfloat16)
+    # the production bf16 serving default (dual block-diagonal decoder)
+    rtf_bf16, utt_bf16, step_bf16, _ = bench_enhance(jax, jnp, jnp.bfloat16,
+                                                     dual=True)
+    if rtf_bf16 < rtf_flax:  # adoption is measurement-gated, every run
+        rtf_bf16, utt_bf16, step_bf16 = rtf_flax, utt_flax, step_flax
 
     with tempfile.TemporaryDirectory() as tmp:
         train_step_s, flops_train = bench_train_step(jax, jnp, tmp)
@@ -341,6 +365,8 @@ def main():
         "utt_per_sec_chip_bf16": round(utt_bf16, 2),
         "enhance_batch_ms_f32": round(step_f32 * 1e3, 2),
         "enhance_batch_ms_bf16": round(step_bf16 * 1e3, 2),
+        "enhance_batch_ms_bf16_flax": round(step_flax * 1e3, 2),
+        "enhance_rtf_bf16_flax": round(rtf_flax, 2),
         "train_step_ms_f32_batch6": round(train_step_s * 1e3, 2),
         "train_utt_per_sec_f32": round(TRAIN_BATCH / train_step_s, 2),
         "train_step_ms_bf16_batch6": round(train_step_bf16_s * 1e3, 2),

@@ -50,6 +50,19 @@ from prior_diffuse_tpu.training.base import (
 from prior_diffuse_tpu.training.optim import get_lr, set_lr, torch_adam
 
 
+def _resolve_fused(env: str, serve_dtype) -> str:
+    """Serving-formulation selection (measurement-driven defaults):
+    empty env -> ``dual`` for non-f32 serving (1.53x on the decoder
+    segment, docs/PERF_fwdsplit_r4.json), flax for f32 (exact reference
+    numerics); ``flax`` forces the flax path; anything else passes
+    through (``xla``/``pallas``/``dual``)."""
+    if env == "flax":
+        return ""
+    if not env:
+        return "" if serve_dtype == jnp.float32 else "dual"
+    return env
+
+
 def _mode(diff_cfg) -> str:
     if diff_cfg.pirorgrad:
         return "pirorgrad"
@@ -531,11 +544,17 @@ class ComplexDDPMTrainer(TrainerBase):
         ``[B, L] -> [B, L]`` (wav -> STFT -> prior -> scan sampler ->
         decompress -> ISTFT), model compute in ``serve_dtype``.
 
-        ``PDT_FUSED_ENC=pallas|xla`` opts the DDPM denoiser forwards
-        (85 % of the batch, docs/PERF_r3.json) onto the matmul-chain
-        encoder (``models/fused_forward.py``) — measurement-gated like
-        the Pallas STFT."""
-        fused = os.environ.get("PDT_FUSED_ENC", "")
+        ``PDT_FUSED_ENC=pallas|xla|dual|flax`` routes the DDPM denoiser
+        forwards (85 % of the batch, docs/PERF_r3.json) through the
+        matmul-chain encoder (``models/fused_forward.py``); ``dual``
+        additionally runs both decoder branches as one block-diagonal
+        op chain (decoders are 96 % of the forward and dual is 1.53x
+        faster there, docs/PERF_fwdsplit_r4.json).  Defaults: bf16
+        serving (already the non-exact fast path) uses ``dual``; f32
+        serving keeps the flax path for exact reference numerics.
+        ``flax`` forces the flax path in any dtype."""
+        fused = _resolve_fused(os.environ.get("PDT_FUSED_ENC", ""),
+                               self.serve_dtype)
         if getattr(self, "_enhance_key", None) != (self.serve_dtype, fused):
             from prior_diffuse_tpu.signal.compress import decompress_spec
             from prior_diffuse_tpu.signal.stft import istft
@@ -565,6 +584,7 @@ class ComplexDDPMTrainer(TrainerBase):
                             packed, *args, t.astype(dt),
                             num_steps=self.ddpm_model.num_steps,
                             dtype=dt, use_pallas=fused == "pallas",
+                            dual_decoder=fused == "dual",
                             # CPU (tests) has no Mosaic: interpret there
                             interpret=jax.default_backend() == "cpu")
                         return eps.astype(dt)

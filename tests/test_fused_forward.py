@@ -98,12 +98,25 @@ def test_enhance_batch_fused_matches_default(tmp_path, rng, monkeypatch):
 
     monkeypatch.delenv("PDT_FUSED_ENC", raising=False)
     out_ref = np.asarray(tr.enhance_batch(wav, key))
-    monkeypatch.setenv("PDT_FUSED_ENC", "xla")
-    out_fused = np.asarray(tr.enhance_batch(wav, key))
-    assert out_fused.shape == out_ref.shape
-    rel = (np.sqrt(np.mean((out_fused - out_ref) ** 2))
-           / max(np.sqrt(np.mean(out_ref ** 2)), 1e-12))
-    assert rel < 2e-3, rel
+    for mode in ("xla", "dual"):
+        monkeypatch.setenv("PDT_FUSED_ENC", mode)
+        out_fused = np.asarray(tr.enhance_batch(wav, key))
+        assert out_fused.shape == out_ref.shape
+        rel = (np.sqrt(np.mean((out_fused - out_ref) ** 2))
+               / max(np.sqrt(np.mean(out_ref ** 2)), 1e-12))
+        assert rel < 2e-3, (mode, rel)
+
+
+def test_fused_default_rule():
+    """bf16 serving defaults to the dual decoder (measured 1.53x on
+    the dominant segment); f32 keeps exact-flax; 'flax' forces off."""
+    from prior_diffuse_tpu.training.ddpm_trainer import _resolve_fused
+
+    assert _resolve_fused("", jnp.float32) == ""
+    assert _resolve_fused("", jnp.bfloat16) == "dual"
+    assert _resolve_fused("flax", jnp.bfloat16) == ""
+    assert _resolve_fused("xla", jnp.float32) == "xla"
+    assert _resolve_fused("pallas", jnp.bfloat16) == "pallas"
 
 
 def test_fused_forward_prior(rng):
