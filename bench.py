@@ -101,21 +101,29 @@ def bench_enhance(jax, jnp, dtype, dual=False):
         from prior_diffuse_tpu.models.fused_forward import (
             fused_unet_forward, pack_unet)
 
-        # jit argument, never a closure (constant-reshipping trap)
-        ddpm_operand = jax.jit(pack_unet)(ddpm_vars)
+        # jit arguments, never closures (constant-reshipping trap);
+        # the prior shares the UNet spine, so it serves dual too
+        ddpm_operand = {"ddpm": jax.jit(pack_unet)(ddpm_vars),
+                        "dis": jax.jit(pack_unet)(dis_vars)}
     else:
         ddpm_operand = ddpm_vars
 
     @jax.jit
     def enhance(dis_vars, ddpm_operand, wav, rng):
         feat = compress_spec(stft(wav), cfg.feat_type)
-        x_init = (dis.apply(dis_vars, feat.astype(dtype), mutable=False)
-                  .astype(dtype) / jnp.asarray(diff.scale_c, dtype))
+        if dual:
+            x_init = fused_unet_forward(
+                ddpm_operand["dis"], feat.astype(dtype), dtype=dtype,
+                use_pallas=False, dual_decoder=True)
+        else:
+            x_init = dis.apply(dis_vars, feat.astype(dtype), mutable=False)
+        x_init = x_init.astype(dtype) / jnp.asarray(diff.scale_c, dtype)
 
         if dual:
             def model_fn(x, t):
                 return fused_unet_forward(
-                    ddpm_operand, x.astype(dtype), x_init, t.astype(dtype),
+                    ddpm_operand["ddpm"], x.astype(dtype), x_init,
+                    t.astype(dtype),
                     num_steps=diff.num_steps, dtype=dtype,
                     use_pallas=False, dual_decoder=True).astype(dtype)
         else:

@@ -564,8 +564,19 @@ class ComplexDDPMTrainer(TrainerBase):
             def impl(state, packed, wav, rng):
                 cfg = self.cfg
                 feat = spec_features(wav, cfg)
-                x_init, _ = self._dis_apply(state["dis"], feat.astype(dt),
-                                            train=False)
+                if fused and packed is not None and "dis" in packed:
+                    from prior_diffuse_tpu.models.fused_forward import (
+                        fused_unet_forward)
+
+                    x_init = fused_unet_forward(
+                        packed["dis"], feat.astype(dt), dtype=dt,
+                        use_pallas=fused == "pallas",
+                        dual_decoder=fused == "dual",
+                        interpret=jax.default_backend() == "cpu")
+                else:
+                    x_init, _ = self._dis_apply(state["dis"],
+                                                feat.astype(dt),
+                                                train=False)
                 x_init = x_init.astype(dt) / jnp.asarray(self.c, dt)
                 sig = sigma_mask(x_init) if self.run.sigma else None
                 sched = inference_schedule(self.exp.diffusion)
@@ -581,7 +592,7 @@ class ComplexDDPMTrainer(TrainerBase):
                                 if self.mode == "deltamu"
                                 else (x.astype(dt), cond))
                         eps = fused_unet_forward(
-                            packed, *args, t.astype(dt),
+                            packed["ddpm"], *args, t.astype(dt),
                             num_steps=self.ddpm_model.num_steps,
                             dtype=dt, use_pallas=fused == "pallas",
                             dual_decoder=fused == "dual",
@@ -617,12 +628,20 @@ class ComplexDDPMTrainer(TrainerBase):
         if getattr(self, "_serve_src", None) is not self.state:
             dt = self._enhance_key[0]
             if fused:
+                from prior_diffuse_tpu.models.diffunet import (
+                    DiffUNet, DiffUNet1, Nocon)
                 from prior_diffuse_tpu.models.fused_forward import pack_unet
 
-                # ONE jitted pack: no per-leaf readbacks, results stay
-                # on device and are passed as jit arguments (never
-                # closed over — CLAUDE.md constant-reshipping trap)
-                self._serve_packed = jax.jit(pack_unet)(self.state["ddpm"])
+                # ONE jitted pack per net: no per-leaf readbacks,
+                # results stay on device and are passed as jit
+                # arguments (never closed over — CLAUDE.md
+                # constant-reshipping trap)
+                packed = {"ddpm": jax.jit(pack_unet)(self.state["ddpm"])}
+                if isinstance(self.dis_model, DiffUNet):
+                    # the prior shares the UNet spine: serve it on the
+                    # same measured-fast formulation
+                    packed["dis"] = jax.jit(pack_unet)(self.state["dis"])
+                self._serve_packed = packed
             else:
                 self._serve_packed = None
             if dt != jnp.float32:
