@@ -174,6 +174,35 @@ def test_evaluate_on_8_device_mesh_ragged_batch(tmp_path, corpus):
     assert len(wavs) == 2
 
 
+def test_enhance_batch_on_8_device_mesh(tmp_path, corpus):
+    """Production serving path (enhance_batch: STFT -> prior -> scan
+    sampler -> ISTFT in one jit) on the dp mesh: the padded wav batch
+    shards over 8 devices, output is deterministic for a fixed rng and
+    row-independent (each utterance's result must not depend on what
+    shares the batch — the dp guarantee serving relies on)."""
+    from prior_diffuse_tpu.parallel import make_mesh
+    from prior_diffuse_tpu.training import ComplexDDPMTrainer
+
+    mesh = make_mesh(dp=8)
+    run = RunConfig(assets=str(tmp_path / "eh"), doc="m", data_root=corpus,
+                    joint=True)
+    tr = ComplexDDPMTrainer(run, _exp(), mesh=mesh)
+    g = np.random.default_rng(11)
+    wav = (g.standard_normal((8, 8000)) * 0.2).astype(np.float32)
+    sharded = tr.put_batch(wav)[0]
+    assert len(sharded.sharding.device_set) == 8
+    rng = jax.random.PRNGKey(5)
+    out = np.asarray(tr.enhance_batch(wav, rng))
+    assert out.shape == wav.shape and np.isfinite(out).all()
+    out2 = np.asarray(tr.enhance_batch(wav, rng))
+    np.testing.assert_array_equal(out, out2)
+    # row independence: perturbing row 7 must not change row 0
+    wav_b = wav.copy()
+    wav_b[7] = g.standard_normal(8000).astype(np.float32) * 0.2
+    out_b = np.asarray(tr.enhance_batch(wav_b, rng))
+    np.testing.assert_allclose(out_b[0], out[0], atol=1e-5)
+
+
 def test_checkpoint_roundtrip_sharded_state(tmp_path, corpus):
     """Save -> restore of mesh-sharded training state resumes
     bit-identically: the restored trainer's next step equals the
