@@ -107,6 +107,49 @@ def test_enhance_batch_fused_matches_default(tmp_path, rng, monkeypatch):
         assert rel < 2e-3, (mode, rel)
 
 
+@pytest.mark.parametrize("mode_kw", [
+    {"deltamu": True},            # Nocon denoiser: eps(x_t, t)
+    {"cond_noisy": True},         # 4-channel conditioning concat
+])
+def test_enhance_batch_fused_other_modes(tmp_path, rng, monkeypatch,
+                                         mode_kw):
+    """The fused serving route must reproduce the flax path in the
+    deltamu (Nocon, no x_init arg) and cond_noisy (4-channel
+    preprocess) modes too — the model_fn arg routing differs per
+    mode."""
+    from prior_diffuse_tpu.config import (
+        DiffusionConfig, ExperimentConfig, ModelConfig, OptimConfig,
+        RunConfig, TrainConfig,
+    )
+    from prior_diffuse_tpu.data import synthetic
+    from prior_diffuse_tpu.training import ComplexDDPMTrainer
+
+    corpus = synthetic.write_corpus(
+        str(tmp_path / "c"), n_train=2, n_test=1, min_len=6000,
+        max_len=8000, seed=9,
+    )
+    exp = ExperimentConfig(
+        train=TrainConfig(batch_size=2, n_epochs=1, loss="com_mse_loss",
+                          chunk_length=4800),
+        model=ModelConfig("DiffUNet"),
+        optim=OptimConfig(lr=5e-4),
+        optim_ddpm=OptimConfig(lr=2e-4),
+        diffusion=DiffusionConfig(**mode_kw),
+    )
+    run = RunConfig(assets=str(tmp_path / "a"), doc="t", data_root=corpus,
+                    joint=True)
+    tr = ComplexDDPMTrainer(run, exp)
+    wav = (rng.standard_normal((2, 8000)) * 0.2).astype(np.float32)
+    key = jax.random.PRNGKey(4)
+    monkeypatch.delenv("PDT_FUSED_ENC", raising=False)
+    out_ref = np.asarray(tr.enhance_batch(wav, key))
+    monkeypatch.setenv("PDT_FUSED_ENC", "dual")
+    out_fused = np.asarray(tr.enhance_batch(wav, key))
+    rel = (np.sqrt(np.mean((out_fused - out_ref) ** 2))
+           / max(np.sqrt(np.mean(out_ref ** 2)), 1e-12))
+    assert rel < 2e-3, rel
+
+
 def test_fused_default_rule():
     """bf16 serving defaults to the dual decoder (measured 1.53x on
     the dominant segment); f32 keeps exact-flax; 'flax' forces off."""
