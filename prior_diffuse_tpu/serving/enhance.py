@@ -6,8 +6,8 @@ TPU-first redesign: files are length-sorted into padded buckets and the
 entire wav -> STFT -> prior -> scan-sampler -> ISTFT -> wav path runs
 on device per bucket; only decode and write stay on host.
 
-Any trainer exposing ``enhance_batch(noisy_padded, lengths, rng)`` can
-serve through these helpers (DDPM, complex dis-only, magnitude).
+Any trainer exposing ``enhance_batch(noisy_padded, rng)`` can serve
+through these helpers (DDPM, complex dis-only, magnitude).
 """
 
 from __future__ import annotations
