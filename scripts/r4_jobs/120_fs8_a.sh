@@ -7,7 +7,7 @@
 # ~2x the wall-clock speed.
 set -u
 cd /root/repo
-mkdir -p assets/fullscale8
+mkdir -p assets/fullscale8 assets/fullscale/data
 [ -e assets/fullscale8/data ] || ln -s ../fullscale/data assets/fullscale8/data
 DEADLINE=$(($(date +%s) + 120 * 60))
 python scripts/train_demo.py \
