@@ -5,6 +5,8 @@ at trainer/complex_ddpm_trainer.py:213,459) and from re-deriving the
 closed-form DiffWave equations by hand.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -271,3 +273,35 @@ def test_qsample_leak_drop_rejects_deltamu(rng):
     with pytest.raises(ValueError, match="deltamu"):
         q_sample(jax.random.PRNGKey(0), clean, clean,
                  jnp.asarray(sched.alpha_bar), 50, "deltamu", leak_drop=0.5)
+
+
+def test_tradeoff_variants_embed():
+    """Every schedule swept by scripts/eval_schedules.py must embed into
+    the 50-step training grid (inference_schedule raises otherwise) and
+    keep the reference sampler invariants (gamma0 override, sigma[0]
+    index wrap -> new_sigma[0] = 0 collapse at the first step)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "eval_schedules",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "eval_schedules.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    for name, sched in mod.VARIANTS:
+        if sched is None:
+            continue
+        if sched == "full":
+            cfg = DiffusionConfig(fast_sampling=False)
+            n = len(cfg.noise_schedule)
+        elif sched == "default":
+            cfg = DiffusionConfig()
+            n = len(cfg.inference_noise_schedule)
+        else:
+            cfg = DiffusionConfig(inference_noise_schedule=list(sched))
+            n = len(sched)
+        inf = inference_schedule(cfg)
+        assert len(inf.T) == n, name
+        assert inf.gamma[0] == cfg.gamma0_override, name
+        # monotone noise injection: betas strictly increase
+        assert np.all(np.diff(inf.beta) > 0), name
