@@ -73,6 +73,60 @@ def _buckets(lengths: Sequence[int], batch_size: int, bucket_samples: int):
         yield idx, rows, pad_to
 
 
+def prior_only_server(trainer, dtype=None):
+    """Serving adapter that runs ONLY the discriminative prior (x_init,
+    no residual DDPM) through the same wav -> STFT -> ISTFT -> wav
+    pipeline; exposes ``enhance_batch`` so it plugs into
+    ``enhance_files``/``enhance_long`` anywhere a trainer does.
+
+    The reference has no such path (its dis-only trainers are separate
+    models, ``trainer/complex_trainer.py``); this adapter shares the
+    trained chain's prior, so chain-vs-prior deltas in the demo and
+    schedule-tradeoff tables isolate the residual DDPM's net
+    contribution on identical weights.
+
+    ``dtype`` is the prior compute dtype (defaults to the trainer's
+    ``serve_dtype``); params/batch-stats are cast once per state object
+    and passed as jit arguments (never closed over — constants get
+    re-shipped per call on this PJRT).
+    """
+    import jax.numpy as jnp
+
+    from prior_diffuse_tpu.signal.compress import decompress_spec
+    from prior_diffuse_tpu.signal.stft import istft
+    from prior_diffuse_tpu.training.base import spec_features
+
+    dt = dtype if dtype is not None else getattr(
+        trainer, "serve_dtype", jnp.float32)
+    cfg = trainer.cfg
+
+    @jax.jit
+    def impl(dis_vars, wav):
+        feat = spec_features(wav, cfg)
+        x_init, _ = trainer._dis_apply(dis_vars, feat.astype(dt),
+                                       train=False)
+        return istft(
+            decompress_spec(x_init.astype(jnp.float32), cfg.feat_type),
+            length=wav.shape[-1], fft_num=cfg.fft_num,
+            win_size=cfg.win_size, win_shift=cfg.win_shift)
+
+    class _PriorOnly:
+        def __init__(self):
+            self.cfg = cfg
+            self._src = None
+            self._vars = None
+
+        def enhance_batch(self, wav_batch, rng):
+            if self._src is not trainer.state:
+                dis = trainer.state["dis"]
+                if dt != jnp.float32:
+                    dis = jax.tree.map(lambda p: p.astype(dt), dis)
+                self._vars, self._src = dis, trainer.state
+            return impl(self._vars, trainer.put_batch(wav_batch)[0])
+
+    return _PriorOnly()
+
+
 def enhance_waveform(trainer, wav: np.ndarray, rng) -> np.ndarray:
     """Enhance one waveform (RMS-normalize, run the model pipeline,
     restore scale)."""

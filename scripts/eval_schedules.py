@@ -172,26 +172,7 @@ def main():
         tbatch[i, : len(seg)] = seg / c
     tbatch = jnp.asarray(tbatch)
 
-    from prior_diffuse_tpu.signal.compress import decompress_spec
-    from prior_diffuse_tpu.signal.stft import istft
-    from prior_diffuse_tpu.training.base import spec_features
-
-    dt = tr.serve_dtype
-
-    @jax.jit
-    def _dis_impl(state, wav):
-        feat = spec_features(wav, tr.cfg)
-        x_init, _ = tr._dis_apply(state["dis"], feat.astype(dt), train=False)
-        return istft(
-            decompress_spec(x_init.astype(jnp.float32), tr.cfg.feat_type),
-            length=wav.shape[-1], fft_num=tr.cfg.fft_num,
-            win_size=tr.cfg.win_size, win_shift=tr.cfg.win_shift)
-
-    class _DisOnly:
-        cfg = tr.cfg
-
-        def enhance_batch(self, wav_batch, rng):
-            return _dis_impl(tr.state, tr.put_batch(wav_batch)[0])
+    from prior_diffuse_tpu.serving.enhance import prior_only_server
 
     audio_sec = args.batch * args.seconds
     rows = []
@@ -201,7 +182,7 @@ def main():
         if wanted and not any(name.startswith(w) for w in wanted):
             continue
         if sched is None:
-            server, steps = _DisOnly(), 0
+            server, steps = prior_only_server(tr), 0
         else:
             if sched == "full":
                 diff = dataclasses.replace(base_diff, fast_sampling=False)

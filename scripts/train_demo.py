@@ -270,27 +270,12 @@ def main():
     import glob as _glob
 
     from prior_diffuse_tpu.data.wavio import read_wav, write_wav
-    from prior_diffuse_tpu.serving.enhance import enhance_files
-    from prior_diffuse_tpu.signal.compress import decompress_spec
-    from prior_diffuse_tpu.signal.stft import istft
-    from prior_diffuse_tpu.training.base import spec_features
-
-    @jax.jit
-    def _dis_impl(state, wav):
-        feat = spec_features(wav, tr.cfg)
-        x_init, _ = tr._dis_apply(state["dis"], feat, train=False)
-        return istft(decompress_spec(x_init, tr.cfg.feat_type),
-                     length=wav.shape[-1])
-
-    class _DisOnly:
-        cfg = tr.cfg
-
-        def enhance_batch(self, wav_batch, rng):
-            return _dis_impl(tr.state, tr.put_batch(wav_batch)[0])
+    from prior_diffuse_tpu.serving.enhance import (enhance_files,
+                                                   prior_only_server)
 
     paths = sorted(_glob.glob(os.path.join(noisy_dir, "*.wav")))
     wavs = [read_wav(p, 16000)[0] for p in paths]
-    outs = enhance_files(_DisOnly(), wavs, jax.random.PRNGKey(0))
+    outs = enhance_files(prior_only_server(tr), wavs, jax.random.PRNGKey(0))
     dis_dir = os.path.join(args.assets, "prior_only")
     os.makedirs(dis_dir, exist_ok=True)
     for p, w in zip(paths, outs):

@@ -156,26 +156,12 @@ def test_streaming_vs_wholefile_real_model(tmp_path):
                 / max(np.sqrt(np.mean(b ** 2)), 1e-9))
 
     # --- deterministic prior-only path (no sampler draws): tight bound
-    from prior_diffuse_tpu.signal.compress import decompress_spec
-    from prior_diffuse_tpu.signal.stft import istft
-    from prior_diffuse_tpu.training.base import spec_features
+    from prior_diffuse_tpu.serving.enhance import prior_only_server
 
-    @jax.jit
-    def _dis_impl(state, w):
-        feat = spec_features(w, tr.cfg)
-        x_init, _ = tr._dis_apply(state["dis"], feat, train=False)
-        return istft(decompress_spec(x_init, tr.cfg.feat_type),
-                     length=w.shape[-1])
-
-    class _DisOnly:
-        cfg = tr.cfg
-
-        def enhance_batch(self, wav_batch, rng):
-            return _dis_impl(tr.state, tr.put_batch(wav_batch)[0])
-
-    s_det = enhance_long(_DisOnly(), wav, jax.random.PRNGKey(5),
+    dis_only = prior_only_server(tr)
+    s_det = enhance_long(dis_only, wav, jax.random.PRNGKey(5),
                          segment=segment, overlap=overlap)
-    w_det = enhance_files(_DisOnly(), [wav], jax.random.PRNGKey(5))[0]
+    w_det = enhance_files(dis_only, [wav], jax.random.PRNGKey(5))[0]
     mid = np.ones(40_000, bool)  # exclude +-overlap around each seam
     for s in range(hop, 40_000, hop):
         mid[max(s - overlap, 0): s + overlap] = False
