@@ -192,3 +192,11 @@ def test_streaming_vs_wholefile_real_model(tmp_path):
     # untrained chain output, so output RMS is meaningless; the RMS
     # restore mechanics are pinned by the identity-trainer tests above.
     assert rel_rms(stream, whole) < 1.45
+
+    # --- prior_only_server dtype branch: the bf16 adapter (params cast
+    # once per state object) must track the f32 path within bf16
+    # rounding, not bit-exactly
+    w_b16 = enhance_files(prior_only_server(tr, jnp.bfloat16), [wav],
+                          jax.random.PRNGKey(5))[0]
+    assert np.isfinite(w_b16).all()
+    assert rel_rms(w_b16, w_det) < 0.08
