@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from prior_diffuse_tpu.models import layers as tl
-from prior_diffuse_tpu.models.diffunet import TCM, Decoder
+from prior_diffuse_tpu.models.diffunet import TCM, Decoder, Encoder
 from prior_diffuse_tpu.ops.pallas.convblock_kernel import (
     encoder_pallas,
     pack_encoder,
@@ -38,10 +38,13 @@ _DEC_KERNELS = {5: 3, 4: 3, 3: 3, 2: 3, 1: 5}  # freq kernel per stage
 _G = 32  # BiConvTransGLU internal width
 
 
-def _dual_dec_stage(dr, di, bn, prelu, last: bool, cout: int):
+def _dual_dec_stage(dr, di, bn, prelu, last: bool, cout: int,
+                    fold_bn: bool = True):
     """Block-diagonally merge one decoder stage's de_real/de_imag
     BiConvTransGLU params into dual-branch operands.  Channel layout is
-    branch-major throughout: ``[real | imag]``."""
+    branch-major throughout: ``[real | imag]``.  ``fold_bn=False`` packs
+    the conv chain only (train mode: BN runs on batch statistics and
+    cannot be folded into weights; the caller applies it)."""
     g = _G
 
     def kb(p):
@@ -96,7 +99,7 @@ def _dual_dec_stage(dr, di, bn, prelu, last: bool, cout: int):
     w2 = w2.at[:g, :cout].set(w2r.reshape(g, cout))
     w2 = w2.at[g:, cout:].set(w2i.reshape(g, cout))
     b2 = jnp.concatenate([b2r, b2i])
-    if not last:  # fold inference BN (commutes with the time chomp)
+    if not last and fold_bn:  # fold inference BN (commutes with the time chomp)
         bnr, bni = bn
         cat = lambda k: jnp.concatenate(
             [jnp.asarray(bnr[k]), jnp.asarray(bni[k])])
@@ -111,19 +114,25 @@ def _dual_dec_stage(dr, di, bn, prelu, last: bool, cout: int):
     return st
 
 
-def pack_dual_decoder(core_params, core_stats):
+def pack_dual_decoder(core_params, core_stats=None, *, fold_bn: bool = True):
     """Pack the two Decoder branches (``de_real``/``de_imag``) into one
     block-diagonal dual-branch stage list: every conv in the two
     structurally identical branches becomes ONE op at doubled lane
     width (the encoder-kernel gate trick at branch scale).  Pure jnp —
-    jit the call when params live on device."""
+    jit the call when params live on device.
+
+    ``fold_bn=True`` (serving): inference BN + PReLU are folded into the
+    stage operands (needs ``core_stats``).  ``fold_bn=False`` (training):
+    conv chain only — BN must run on batch statistics, the caller applies
+    it (:func:`dual_decoder_train_forward`)."""
     pr, pi = core_params["de_real"], core_params["de_imag"]
-    sr, si = core_stats["de_real"], core_stats["de_imag"]
+    if fold_bn:
+        sr, si = core_stats["de_real"], core_stats["de_imag"]
     stages = []
     for idx in (5, 4, 3, 2, 1):
         last = idx == 1
         bn = prelu = (None, None)
-        if not last:
+        if not last and fold_bn:
             bn = ({**pr[f"bn{idx}"]["BatchNorm_0"],
                    **sr[f"bn{idx}"]["BatchNorm_0"]},
                   {**pi[f"bn{idx}"]["BatchNorm_0"],
@@ -131,52 +140,167 @@ def pack_dual_decoder(core_params, core_stats):
             prelu = (pr[f"prelu{idx}"], pi[f"prelu{idx}"])
         stages.append(_dual_dec_stage(
             pr[f"de{idx}"], pi[f"de{idx}"], bn, prelu, last,
-            1 if last else 64))
+            1 if last else 64, fold_bn=fold_bn))
     return stages
+
+
+def _mm(a, w, b, dtype):
+    cd = dtype or a.dtype
+    return (jnp.einsum("btfc,cd->btfd", a.astype(cd), w.astype(cd),
+                       preferred_element_type=jnp.float32)
+            + b).astype(a.dtype)
+
+
+def _dual_stage_chain(st, z, skip, temb, dtype):
+    """One dual-decoder stage's conv chain: skip concat -> conv1 (+ the
+    folded t-projection) -> paired conv-transpose -> cross gate -> conv2
+    -> time chomp.  BN/PReLU are the caller's: folded into the operands
+    for serving, train-mode flax BatchNorm for training."""
+    inp = jnp.concatenate([z, skip.astype(z.dtype)], axis=-1)
+    b1 = st["b1"]
+    if temb is not None and "tp2b" in st:
+        cd = dtype or temb.dtype
+        b1 = b1 + jnp.einsum("bc,cd->bd", temb.astype(cd),
+                             st["tp2b"].astype(cd),
+                             preferred_element_type=jnp.float32)
+        b1 = b1[:, None, None, :]
+    h = _mm(inp, st["w1"], b1, dtype)
+    y = tl.conv_transpose(h, st["wp"], st["bp"], (1, 2), (0, 0),
+                          dtype=dtype).astype(z.dtype)
+    gate = jax.nn.sigmoid(_mm(y, st["wg"], st["bg"], dtype))
+    g = _G
+    comb = jnp.concatenate(
+        [y[..., :g] * gate[..., g : 2 * g]
+         + y[..., g : 2 * g] * gate[..., :g],
+         y[..., 2 * g : 3 * g] * gate[..., 3 * g :]
+         + y[..., 3 * g :] * gate[..., 2 * g : 3 * g]],
+        axis=-1)
+    out = _mm(comb, st["w2"], st["b2"], dtype)
+    return tl.chomp_time_end(out, 1)
 
 
 def dual_decoder_forward(stages, x, skips, temb=None, *,
                          dtype=jnp.bfloat16):
-    """Both decoder branches in one op chain.  ``x [B, T, 4, 64]`` is
-    the bottleneck, ``skips`` the encoder outputs; returns
-    ``[B, T, 161, 2]`` with channels ``[real | imag]`` — exactly the
-    flax ``concat([de_real(...), de_imag(...)], -1)``."""
-    from prior_diffuse_tpu.models import layers as tl
-
-    def mm(a, w, b):
-        return (jnp.einsum("btfc,cd->btfd", a.astype(dtype),
-                           w.astype(dtype),
-                           preferred_element_type=jnp.float32)
-                + b).astype(a.dtype)
-
+    """Both decoder branches in one op chain (inference: BN folded).
+    ``x [B, T, 4, 64]`` is the bottleneck, ``skips`` the encoder
+    outputs; returns ``[B, T, 161, 2]`` with channels ``[real | imag]``
+    — exactly the flax ``concat([de_real(...), de_imag(...)], -1)``."""
     z = jnp.concatenate([x, x], axis=-1)  # stage-1 branch inputs equal
     for st, skip in zip(stages, reversed(skips)):
-        inp = jnp.concatenate([z, skip.astype(z.dtype)], axis=-1)
-        b1 = st["b1"]
-        if temb is not None and "tp2b" in st:
-            b1 = b1 + jnp.einsum("bc,cd->bd", temb.astype(dtype),
-                                 st["tp2b"].astype(dtype),
-                                 preferred_element_type=jnp.float32)
-            b1 = b1[:, None, None, :]
-        h = mm(inp, st["w1"], b1)
-        y = tl.conv_transpose(h, st["wp"], st["bp"], (1, 2), (0, 0),
-                              dtype=dtype).astype(z.dtype)
-        m = mm(y, st["wg"], st["bg"])
-        gate = jax.nn.sigmoid(m)
-        g = _G
-        comb = jnp.concatenate(
-            [y[..., :g] * gate[..., g : 2 * g]
-             + y[..., g : 2 * g] * gate[..., :g],
-             y[..., 2 * g : 3 * g] * gate[..., 3 * g :]
-             + y[..., 3 * g :] * gate[..., 2 * g : 3 * g]],
-            axis=-1)
-        out = mm(comb, st["w2"], st["b2"])
-        out = tl.chomp_time_end(out, 1)
+        out = _dual_stage_chain(st, z, skip, temb, dtype)
         if "alpha" in st:
             a = st["alpha"].astype(out.dtype)
             out = jnp.where(out >= 0, out, a * out)
         z = out
     return z
+
+
+def dual_decoder_train_forward(stages, core_params, core_stats, x, skips,
+                               temb=None, *, dtype=None):
+    """Train-mode dual decoder: the same block-diagonal op chain as
+    :func:`dual_decoder_forward`, but with BatchNorm unfolded and run in
+    train mode over the concatenated ``[real | imag]`` channels.  BN
+    statistics are per-channel, so one 128-channel BatchNorm over the
+    concatenation is *exactly* the two per-branch 64-channel BatchNorms
+    (same normalization, same running-stat update); the updated stats
+    are split back into the two canonical branch subtrees.
+
+    ``stages`` must come from ``pack_dual_decoder(..., fold_bn=False)``
+    — pack inside the loss so gradients flow through the block-diagonal
+    scatter back to the canonical ``de_real``/``de_imag`` leaves.
+
+    Returns ``(y, de_real_stats, de_imag_stats)``."""
+    pr, pi = core_params["de_real"], core_params["de_imag"]
+    sr, si = core_stats["de_real"], core_stats["de_imag"]
+    new_r, new_i = {}, {}
+    z = jnp.concatenate([x, x], axis=-1)
+    for st, idx, skip in zip(stages, (5, 4, 3, 2, 1), reversed(skips)):
+        out = _dual_stage_chain(st, z, skip, temb, dtype)
+        if idx != 1:
+            cout = out.shape[-1] // 2
+            br = pr[f"bn{idx}"]["BatchNorm_0"]
+            bi = pi[f"bn{idx}"]["BatchNorm_0"]
+            mr = sr[f"bn{idx}"]["BatchNorm_0"]
+            mi = si[f"bn{idx}"]["BatchNorm_0"]
+            cat = lambda a, b, k: jnp.concatenate(
+                [jnp.asarray(a[k]), jnp.asarray(b[k])])
+            bn_vars = {
+                "params": {"BatchNorm_0": {"scale": cat(br, bi, "scale"),
+                                           "bias": cat(br, bi, "bias")}},
+                "batch_stats": {"BatchNorm_0": {"mean": cat(mr, mi, "mean"),
+                                                "var": cat(mr, mi, "var")}},
+            }
+            out, mut = tl.BatchNorm(use_running_average=False,
+                                    dtype=dtype).apply(
+                bn_vars, out, mutable=["batch_stats"])
+            upd = mut["batch_stats"]["BatchNorm_0"]
+            new_r[f"bn{idx}"] = {"BatchNorm_0": {
+                "mean": upd["mean"][:cout], "var": upd["var"][:cout]}}
+            new_i[f"bn{idx}"] = {"BatchNorm_0": {
+                "mean": upd["mean"][cout:], "var": upd["var"][cout:]}}
+            ar = jnp.asarray(pr[f"prelu{idx}"]["alpha"]).reshape(())
+            ai = jnp.asarray(pi[f"prelu{idx}"]["alpha"]).reshape(())
+            a = jnp.concatenate(
+                [jnp.broadcast_to(ar, (cout,)),
+                 jnp.broadcast_to(ai, (cout,))]).astype(out.dtype)
+            out = jnp.where(out >= 0, out, a * out)
+        z = out
+    return z, new_r, new_i
+
+
+def dual_train_forward(variables, x, x_init=None, t=None, *,
+                       num_steps: int = 50, dtype=None):
+    """Train-mode forward for the DiffUNet family with the dual
+    block-diagonal decoder: numerically equivalent to
+    ``model.apply(..., train=True, mutable=["batch_stats"])`` on
+    ``DiffUNet1(x, x_init, t)``, ``Nocon(x, t)`` (``x_init=None``) or
+    ``DiffUNet(x)`` (``x_init=None, t=None``), but with the two decoder
+    branches fused into one op chain at doubled lane occupancy — the
+    serving formulation that measured 1.53x on the decoder segment
+    (docs/PERF_fwdsplit_r4.json), applied to the training hot loop
+    (reference ``trainer/complex_ddpm_trainer.py:740-757``).
+
+    Preprocess, time embedding, encoder and TCM stacks run as the flax
+    submodules on their canonical parameter subtrees (train mode,
+    mutable batch stats); only the decoder pair is reformulated.
+
+    Returns ``(y, new_batch_stats)`` with ``new_batch_stats`` in the
+    canonical variable-tree structure (drop-in for the flax
+    ``updated["batch_stats"]``)."""
+    params, stats = variables["params"], variables["batch_stats"]
+    core_p, core_s = params["core"], stats["core"]
+    if "preprocess" in params:  # DiffUNet1's x/x_init merge conv
+        xcat = jnp.concatenate([x, x_init.astype(x.dtype)], axis=-1)
+        x = tl.conv2d(2, (1, 1), dtype=dtype).apply(
+            {"params": params["preprocess"]}, xcat)
+    temb = None
+    if "time_embedding" in params:
+        temb = tl.TimeEmbedding(num_steps).apply(
+            {"params": params["time_embedding"]}, t)
+        if dtype is not None:
+            temb = temb.astype(dtype)
+    time_cond = temb is not None
+
+    (xe, skips), mut = Encoder(time_cond, dtype=dtype).apply(
+        {"params": core_p["en"], "batch_stats": core_s["en"]},
+        x, temb, True, mutable=["batch_stats"])
+    new_core = {"en": mut["batch_stats"]}
+
+    b, tt, f, c = xe.shape  # f=4, c=64
+    flat = xe.transpose(0, 1, 3, 2).reshape(b, tt, c * f)
+    for i in range(3):
+        flat, mut = TCM(dtype=dtype).apply(
+            {"params": core_p[f"tcm{i + 1}"],
+             "batch_stats": core_s[f"tcm{i + 1}"]},
+            flat, True, mutable=["batch_stats"])
+        new_core[f"tcm{i + 1}"] = mut["batch_stats"]
+    xb = flat.reshape(b, tt, c, f).transpose(0, 1, 3, 2)
+
+    stages = pack_dual_decoder(core_p, fold_bn=False)
+    y, de_r, de_i = dual_decoder_train_forward(
+        stages, core_p, core_s, xb, skips, temb, dtype=dtype)
+    new_core["de_real"], new_core["de_imag"] = de_r, de_i
+    return y, {"core": new_core}
 
 
 def pack_unet(variables) -> Dict[str, Any]:

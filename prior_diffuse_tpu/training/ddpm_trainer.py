@@ -40,6 +40,7 @@ from prior_diffuse_tpu.diffusion import (
     sigma_mask,
 )
 from prior_diffuse_tpu.losses import com_mse_loss, com_mse_sigma_loss
+from prior_diffuse_tpu.models.fused_forward import dual_train_forward
 from prior_diffuse_tpu.metrics.compare import compare_complex
 from prior_diffuse_tpu.registry import LOSSES, MODELS, TRAINERS
 from prior_diffuse_tpu.training.base import (
@@ -120,6 +121,13 @@ class ComplexDDPMTrainer(TrainerBase):
 
         cdt = (jnp.bfloat16 if self.cfg.compute_dtype in ("bfloat16", "bf16")
                else None)
+        self.cdt = cdt
+        # PDT_FUSED_TRAIN=dual: run the train-mode forwards through the
+        # block-diagonal dual decoder (models/fused_forward.py) —
+        # opt-in until the chip measurement lands (the Pallas-STFT
+        # adoption discipline; serving already defaults to it for bf16,
+        # docs/PERF_fwdsplit_r4.json 1.53x on the decoder segment).
+        self.fused_train = os.environ.get("PDT_FUSED_TRAIN", "") == "dual"
         dis_cls = MODELS.get(exp.model.name)
         dis_kwargs = (
             {"dtype": cdt}
@@ -222,6 +230,8 @@ class ComplexDDPMTrainer(TrainerBase):
         return x_init
 
     def _dis_apply(self, variables, feat, train):
+        if train and self.fused_train and type(self.dis_model).__name__ == "DiffUNet":
+            return dual_train_forward(variables, feat, dtype=self.cdt)
         out = self.dis_model.apply(
             {"params": variables["params"],
              "batch_stats": variables["batch_stats"]},
@@ -235,6 +245,10 @@ class ComplexDDPMTrainer(TrainerBase):
         return out, variables["batch_stats"]
 
     def _ddpm_apply(self, variables, x, x_init, t, train):
+        if train and self.fused_train:
+            return dual_train_forward(
+                variables, x, None if self.mode == "deltamu" else x_init,
+                t, num_steps=self.num_steps, dtype=self.cdt)
         args = (x, t) if self.mode == "deltamu" else (x, x_init, t)
         out = self.ddpm_model.apply(
             {"params": variables["params"],
