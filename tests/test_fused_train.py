@@ -132,6 +132,46 @@ def test_dual_train_forward_prior(rng):
     _tree_allclose(new_stats, mut_ref["batch_stats"], atol=2e-4)
 
 
+def test_train_step_fused_on_8_device_mesh(tmp_path, monkeypatch):
+    """The fused train step's new op classes (block-diagonal scatter
+    repack inside the loss, concat-channel train-mode BN, stat
+    split-back) must compile and run under GSPMD on the dp mesh —
+    the multi-chip deployment path."""
+    from prior_diffuse_tpu.config import (
+        DiffusionConfig, ExperimentConfig, ModelConfig, OptimConfig,
+        RunConfig, TrainConfig,
+    )
+    from prior_diffuse_tpu.data import synthetic
+    from prior_diffuse_tpu.parallel import make_mesh
+    from prior_diffuse_tpu.training import ComplexDDPMTrainer
+
+    monkeypatch.setenv("PDT_FUSED_TRAIN", "dual")
+    corpus = synthetic.write_corpus(
+        str(tmp_path / "c"), n_train=8, n_test=2, min_len=6000,
+        max_len=8000, seed=17,
+    )
+    exp = ExperimentConfig(
+        train=TrainConfig(batch_size=8, n_epochs=1, loss="com_mse_loss",
+                          chunk_length=4800),
+        model=ModelConfig("DiffUNet"),
+        optim=OptimConfig(lr=5e-4),
+        optim_ddpm=OptimConfig(lr=2e-4),
+        diffusion=DiffusionConfig(),
+    )
+    run = RunConfig(assets=str(tmp_path / "m"), doc="ft", data_root=corpus,
+                    joint=True, sigma=True)
+    tr = ComplexDDPMTrainer(run, exp, mesh=make_mesh(dp=8))
+    assert tr.fused_train
+    batch = next(iter(tr.tr_loader))
+    noisy, clean, frames = tr.put_batch(batch.noisy, batch.clean,
+                                        batch.frame_nums)
+    assert len(noisy.sharding.device_set) == 8
+    tr.state, total, l_dis, l_ddpm, _ = tr._train_step(
+        tr.state, noisy, clean, frames, jax.random.PRNGKey(0))
+    assert np.isfinite(float(total))
+    assert float(l_dis) > 0.0 and float(l_ddpm) > 0.0
+
+
 def test_train_step_fused_matches_flax(tmp_path, rng, monkeypatch):
     """One joint train step with PDT_FUSED_TRAIN=dual reproduces the
     default flax step: same losses, same updated parameters (within fp
