@@ -120,6 +120,23 @@ class TrainerBase:
             self.cv_dataset, self.cfg.batch_size, drop_last=True
         )
 
+    def check_cv_nonempty(self, losses):
+        """Fail loudly when evaluate() saw zero cv batches.
+
+        The eval loader mirrors the reference's drop_last batching
+        (``trainer/complex_ddpm_trainer.py:52-66``): a test split
+        smaller than ``batch_size`` yields no batches, which would
+        otherwise surface as a NaN cv loss (or an IndexError) far from
+        the cause."""
+        if not losses:
+            raise RuntimeError(
+                f"evaluate(): no cv batches — test split has "
+                f"{len(self.cv_dataset)} utterances < batch_size "
+                f"{self.cfg.batch_size} and the eval loader drops the "
+                f"ragged tail (reference parity); use a larger test "
+                f"set or a smaller batch_size"
+            )
+
     # ---- device placement -------------------------------------------------
     def put_batch(self, *arrays):
         """Device-put with the batch axis sharded over ``dp``.

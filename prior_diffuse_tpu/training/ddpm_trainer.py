@@ -409,6 +409,7 @@ class ComplexDDPMTrainer(TrainerBase):
             results.append(
                 compare_complex(audio, label, batch.frame_nums, self.cfg.feat_type)
             )
+        self.check_cv_nonempty(losses)
         cv_loss = float(np.mean(losses))
         diag_mean = {
             f"test_{k}": float(np.mean([d[k] for d in diags]))

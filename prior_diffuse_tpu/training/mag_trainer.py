@@ -140,6 +140,7 @@ class MagTrainer(TrainerBase):
             results.append(
                 compare_complex(est_c, label_c, batch.frame_nums, self.cfg.feat_type)
             )
+        self.check_cv_nonempty(losses)
         cv_loss = float(np.mean(losses))
         self.log_eval("test", cv_loss, np.mean(np.asarray(results), axis=0))
         return cv_loss

@@ -287,3 +287,21 @@ def test_seeded_train_step_and_eval_diagnostics(tmp_path, corpus):
     c = tr.c
     r_diff_mse = com_mse_loss(audio, label, frames)
     assert float(r_diff_mse) == pytest.approx(float(loss), rel=1e-6)
+
+
+def test_evaluate_empty_cv_split_fails_loudly(tmp_path, corpus):
+    """A test split smaller than batch_size yields zero eval batches
+    (drop_last mirrors the reference loader); evaluate() must name the
+    cause instead of crashing with IndexError / returning NaN."""
+    from prior_diffuse_tpu.training import ComplexDDPMTrainer
+
+    exp = ExperimentConfig(
+        train=_tiny_train(batch=4),  # corpus has n_test=2 < 4
+        model=ModelConfig("DiffUNet"),
+        optim=OptimConfig(lr=5e-4),
+        optim_ddpm=OptimConfig(lr=2e-4),
+        diffusion=DiffusionConfig(),
+    )
+    tr = ComplexDDPMTrainer(_run(tmp_path, corpus), exp)
+    with pytest.raises(RuntimeError, match="batch_size"):
+        tr.evaluate()
