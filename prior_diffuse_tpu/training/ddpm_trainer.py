@@ -122,12 +122,18 @@ class ComplexDDPMTrainer(TrainerBase):
         cdt = (jnp.bfloat16 if self.cfg.compute_dtype in ("bfloat16", "bf16")
                else None)
         self.cdt = cdt
-        # PDT_FUSED_TRAIN=dual: run the train-mode forwards through the
-        # block-diagonal dual decoder (models/fused_forward.py) —
-        # opt-in until the chip measurement lands (the Pallas-STFT
-        # adoption discipline; serving already defaults to it for bf16,
-        # docs/PERF_fwdsplit_r4.json 1.53x on the decoder segment).
-        self.fused_train = os.environ.get("PDT_FUSED_TRAIN", "") == "dual"
+        # Train-mode forwards through the block-diagonal dual decoder
+        # (models/fused_forward.py::dual_train_forward).  Chip-measured
+        # at the recommended batch-8 bf16 config
+        # (docs/PERF_fusedtrain_r4.json): the full donated train step
+        # wins 1.37x (70.2 -> 51.4 ms, value_and_grad segment 1.41x),
+        # so bf16 training — already the non-exact fast path — defaults
+        # to it, mirroring the bf16 serving adoption
+        # (docs/PERF_fwdsplit_r4.json).  f32 keeps the exact flax path.
+        # PDT_FUSED_TRAIN=dual|flax overrides either way.
+        _ft_env = os.environ.get("PDT_FUSED_TRAIN", "")
+        self.fused_train = (_ft_env == "dual" if _ft_env
+                            else cdt is not None)
         dis_cls = MODELS.get(exp.model.name)
         dis_kwargs = (
             {"dtype": cdt}

@@ -237,3 +237,45 @@ def test_train_step_fused_matches_flax(tmp_path, rng, monkeypatch):
                                            atol=5e-5, err_msg=key)
         _tree_allclose(s[side]["batch_stats"], s_ref[side]["batch_stats"],
                        atol=5e-5)
+
+
+def test_fused_train_default_follows_dtype(tmp_path, monkeypatch):
+    """Measured-default resolution (docs/PERF_fusedtrain_r4.json): bf16
+    training defaults to the dual block-diagonal decoder (1.37x full
+    step on-chip), f32 keeps the exact flax path, and PDT_FUSED_TRAIN
+    overrides in either direction — mirroring the bf16 serving
+    adoption."""
+    from prior_diffuse_tpu.config import (
+        DiffusionConfig, ExperimentConfig, ModelConfig, OptimConfig,
+        RunConfig, TrainConfig,
+    )
+    from prior_diffuse_tpu.data import synthetic
+    from prior_diffuse_tpu.training import ComplexDDPMTrainer
+
+    corpus = synthetic.write_corpus(
+        str(tmp_path / "c"), n_train=1, n_test=1, min_len=5000,
+        max_len=6000, seed=5,
+    )
+
+    def build(dtype, env, assets):
+        if env is None:
+            monkeypatch.delenv("PDT_FUSED_TRAIN", raising=False)
+        else:
+            monkeypatch.setenv("PDT_FUSED_TRAIN", env)
+        exp = ExperimentConfig(
+            train=TrainConfig(batch_size=1, n_epochs=1,
+                              loss="com_mse_loss", chunk_length=4800,
+                              compute_dtype=dtype),
+            model=ModelConfig("DiffUNet"),
+            optim=OptimConfig(lr=5e-4),
+            optim_ddpm=OptimConfig(lr=2e-4),
+            diffusion=DiffusionConfig(),
+        )
+        run = RunConfig(assets=str(tmp_path / assets), doc="ft",
+                        data_root=corpus, joint=True, sigma=True)
+        return ComplexDDPMTrainer(run, exp)
+
+    assert build("bfloat16", None, "d1").fused_train is True
+    assert build("float32", None, "d2").fused_train is False
+    assert build("bfloat16", "flax", "d3").fused_train is False
+    assert build("float32", "dual", "d4").fused_train is True
