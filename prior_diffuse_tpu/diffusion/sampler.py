@@ -136,9 +136,16 @@ def reverse_sample(
         "T": jnp.asarray(sched.T, dtype)[order],
     }
     if predict == "x0":
-        consts["sqrt_ab"] = jnp.sqrt(jnp.asarray(sched.alpha_cum, dtype))[order]
-        consts["rsqrt_1mab"] = (
-            1.0 / jnp.sqrt(1.0 - jnp.asarray(sched.alpha_cum, dtype))
+        # Derive in f64 host numpy and cast only the FINAL values: bf16
+        # has 8 mantissa bits, so alpha_cum > ~0.996 rounds to exactly
+        # 1.0 if cast first, making 1/sqrt(1-abar) inf and the chain
+        # NaN at every schedule except fast-2 (round-4 confirmed bug).
+        # The final constants themselves are benign in any dtype
+        # (1/sqrt(1-0.9999) = 100.0 is exactly bf16-representable).
+        ab = np.asarray(sched.alpha_cum, np.float64)
+        consts["sqrt_ab"] = jnp.asarray(np.sqrt(ab), dtype)[order]
+        consts["rsqrt_1mab"] = jnp.asarray(
+            1.0 / np.sqrt(1.0 - ab), dtype
         )[order]
     if not noiseless:
         consts.update({
