@@ -39,6 +39,11 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 FLOOR_EPS = 5e-4  # composite regression floor detector
 
 
+def _rss_gb() -> float:
+    with open("/proc/self/statm") as f:
+        return int(f.read().split()[1]) * os.sysconf("SC_PAGE_SIZE") / 2**30
+
+
 def run_stage(tr, until, args, t0):
     """Drive the trainer to step ``until`` with pipelined steps."""
     import numpy as np
@@ -79,6 +84,18 @@ def run_stage(tr, until, args, t0):
                     # from the checkpoint just saved
                     raise SystemExit(
                         f"deadline reached at step {tr.step}; checkpointed"
+                    )
+                if args.max_rss_gb and _rss_gb() > args.max_rss_gb:
+                    # The tunneled PJRT client leaks host RSS per step
+                    # (~5.8 MB/step at batch 8, CLAUDE.md round-4); a
+                    # long run would get OOM-KILLED mid-RPC — which has
+                    # taken the relay down before.  Exit cleanly at the
+                    # checkpoint boundary instead; the queue retry
+                    # resumes in a fresh process.
+                    raise SystemExit(
+                        f"RSS {_rss_gb():.1f} GB > --max-rss-gb "
+                        f"{args.max_rss_gb:g} at step {tr.step}; "
+                        "checkpointed for a fresh-process resume"
                     )
     payload = tr.ckpt_payload()
     tr.ckpt.save_best(payload)
@@ -135,6 +152,10 @@ def main():
     ap.add_argument("--deadline", type=float, default=0,
                     help="unix epoch seconds; exit cleanly (resumable) at "
                          "the first checkpoint boundary past this time")
+    ap.add_argument("--max-rss-gb", type=float, default=80.0,
+                    help="exit cleanly (resumable) at the first checkpoint "
+                         "boundary where host RSS exceeds this, before the "
+                         "tunneled-PJRT leak draws the OOM killer (0=off)")
     ap.add_argument("--eval-every", type=int, default=0,
                     help="full sampling eval + residual diag cadence (0=off)")
     ap.add_argument("--log-every", type=int, default=50)
