@@ -130,8 +130,19 @@ class ComplexDDPMTrainer(TrainerBase):
         # so bf16 training — already the non-exact fast path — defaults
         # to it, mirroring the bf16 serving adoption
         # (docs/PERF_fwdsplit_r4.json).  f32 keeps the exact flax path.
-        # PDT_FUSED_TRAIN=dual|flax overrides either way.
+        # PDT_FUSED_TRAIN=dual|flax overrides either way.  Only batch 8
+        # is chip-measured; batch-6 bf16 is a known bad tiling regime
+        # (vmapped branch-doubling LOST there, docs/PERF_r4_notes.md) —
+        # for b6 bf16 prefer PDT_FUSED_TRAIN=flax until measured.
+        # Unlike serving's _resolve_fused (an open formulation registry),
+        # train has exactly two paths, so typos raise instead of
+        # silently selecting flax.
         _ft_env = os.environ.get("PDT_FUSED_TRAIN", "")
+        if _ft_env not in ("", "dual", "flax"):
+            raise ValueError(
+                f"PDT_FUSED_TRAIN={_ft_env!r}: expected 'dual', 'flax', "
+                "or unset (train has only the dual and flax paths)"
+            )
         self.fused_train = (_ft_env == "dual" if _ft_env
                             else cdt is not None)
         dis_cls = MODELS.get(exp.model.name)

@@ -116,6 +116,73 @@ def test_dual_train_forward_grads(rng):
                                    err_msg=key)
 
 
+def test_dual_train_forward_nocon(rng):
+    """Nocon (deltamu's unconditional denoiser: no preprocess conv,
+    x_init=None, time conditioning only) through the fused train path —
+    the trainer's bf16 default routes deltamu here
+    (ddpm_trainer._ddpm_apply), so pin output + stats + grads parity
+    like the DiffUNet1 case."""
+    from prior_diffuse_tpu.models.diffunet import Nocon
+
+    net = Nocon()
+    x = jnp.asarray(rng.standard_normal((2, 9, 161, 2)).astype(np.float32))
+    t = jnp.asarray([1.4, 40.9], jnp.float32)
+    variables = jax.jit(functools.partial(net.init, train=False))(
+        jax.random.PRNGKey(2), x, t)
+    stats = _randomize_bn(jax.tree.map(np.asarray,
+                                       variables["batch_stats"]), rng)
+    v = {"params": variables["params"], "batch_stats": stats}
+    y_ref, mut_ref = net.apply(v, x, t, True, mutable=["batch_stats"])
+    y, new_stats = dual_train_forward(v, x, None, t,
+                                      num_steps=net.num_steps)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=3e-4)
+    assert (jax.tree_util.tree_structure(new_stats)
+            == jax.tree_util.tree_structure(mut_ref["batch_stats"]))
+    _tree_allclose(new_stats, mut_ref["batch_stats"], atol=2e-4)
+
+    g_ref = jax.grad(lambda p: jnp.sum(net.apply(
+        {"params": p, "batch_stats": stats}, x, t, True,
+        mutable=["batch_stats"])[0] ** 2))(v["params"])
+    g = jax.grad(lambda p: jnp.sum(dual_train_forward(
+        {"params": p, "batch_stats": stats}, x, None, t,
+        num_steps=net.num_steps)[0] ** 2))(v["params"])
+    assert (jax.tree_util.tree_structure(g)
+            == jax.tree_util.tree_structure(g_ref))
+    for (p, a), b in zip(jax.tree_util.tree_leaves_with_path(g),
+                         jax.tree_util.tree_leaves(g_ref)):
+        key = jax.tree_util.keystr(p)
+        a, b = np.asarray(a), np.asarray(b)
+        if key.endswith("['conv2']['bias']") and "['de1']" not in key:
+            continue  # analytically-zero grad (see grads test above)
+        scale = max(np.abs(b).max(), 1e-3)
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-4,
+                                   err_msg=key)
+
+
+def test_dual_train_forward_cond_noisy(rng):
+    """The cond_noisy extension widens DiffUNet1's conditioner to 4
+    channels ([x_init, feat/c]) before the preprocess merge conv —
+    the fused path's xcat concat must match the flax apply with the
+    same widened variables."""
+    net = DiffUNet1()
+    x = jnp.asarray(rng.standard_normal((2, 9, 161, 2)).astype(np.float32))
+    cond = jnp.asarray(
+        rng.standard_normal((2, 9, 161, 4)).astype(np.float32))
+    t = jnp.asarray([3.7, 12.2], jnp.float32)
+    variables = jax.jit(functools.partial(net.init, train=False))(
+        jax.random.PRNGKey(4), x, cond, t)
+    assert variables["params"]["preprocess"]["kernel"].shape[-2] == 6
+    stats = _randomize_bn(jax.tree.map(np.asarray,
+                                       variables["batch_stats"]), rng)
+    v = {"params": variables["params"], "batch_stats": stats}
+    y_ref, mut_ref = net.apply(v, x, cond, t, True,
+                               mutable=["batch_stats"])
+    y, new_stats = dual_train_forward(v, x, cond, t,
+                                      num_steps=net.num_steps)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=3e-4)
+    _tree_allclose(new_stats, mut_ref["batch_stats"], atol=2e-4)
+
+
 def test_dual_train_forward_prior(rng):
     """DiffUNet (no time conditioning, no preprocess): the dis-model
     train forward routes through the same fused path."""
@@ -279,3 +346,7 @@ def test_fused_train_default_follows_dtype(tmp_path, monkeypatch):
     assert build("float32", None, "d2").fused_train is False
     assert build("bfloat16", "flax", "d3").fused_train is False
     assert build("float32", "dual", "d4").fused_train is True
+    # train has exactly two paths — a typo ('Dual', '1', 'on') must be
+    # loud, not a silent flax fallback (ADVICE r4)
+    with pytest.raises(ValueError, match="PDT_FUSED_TRAIN"):
+        build("bfloat16", "Dual", "d5")
