@@ -151,12 +151,20 @@ def _mm(a, w, b, dtype):
             + b).astype(a.dtype)
 
 
-def _dual_stage_chain(st, z, skip, temb, dtype):
+def _dual_stage_chain(st, z, skip, temb, dtype, *, split_mm=False,
+                      first=False):
     """One dual-decoder stage's conv chain: skip concat -> conv1 (+ the
     folded t-projection) -> paired conv-transpose -> cross gate -> conv2
     -> time chomp.  BN/PReLU are the caller's: folded into the operands
-    for serving, train-mode flax BatchNorm for training."""
-    inp = jnp.concatenate([z, skip.astype(z.dtype)], axis=-1)
+    for serving, train-mode flax BatchNorm for training.
+
+    ``split_mm`` (PDT_DUAL_V2 serving experiment): the roofline
+    (docs/PERF_r5_notes.md) shows this chain HBM-bound at 2.45x its
+    fused ceiling — avoid materializing the [z | skip] concat by
+    splitting conv1 into z@w1_z + skip@w1_s (identical MACs, f32
+    accumulation per part), and on the first stage fold the duplicated
+    [x | x] branch input into one matmul with summed kernel halves
+    (halves that op's reads AND MACs)."""
     b1 = st["b1"]
     if temb is not None and "tp2b" in st:
         cd = dtype or temb.dtype
@@ -164,10 +172,29 @@ def _dual_stage_chain(st, z, skip, temb, dtype):
                              st["tp2b"].astype(cd),
                              preferred_element_type=jnp.float32)
         b1 = b1[:, None, None, :]
-    h = _mm(inp, st["w1"], b1, dtype)
+    if split_mm:
+        cz = z.shape[-1] if not first else 2 * z.shape[-1]
+        w1z, w1s = st["w1"][:cz], st["w1"][cz:]
+        if first:  # z would be [x | x]: fold the kernel halves instead
+            half = cz // 2
+            w1z = w1z[:half] + w1z[half:]
+        cd = dtype or z.dtype
+        h = jnp.einsum("btfc,cd->btfd", z.astype(cd), w1z.astype(cd),
+                       preferred_element_type=jnp.float32)
+        h = h + jnp.einsum("btfc,cd->btfd", skip.astype(cd),
+                           w1s.astype(cd),
+                           preferred_element_type=jnp.float32)
+        h = (h + b1).astype(z.dtype)
+    else:
+        inp = jnp.concatenate([z, skip.astype(z.dtype)], axis=-1)
+        h = _mm(inp, st["w1"], b1, dtype)
     y = tl.conv_transpose(h, st["wp"], st["bp"], (1, 2), (0, 0),
                           dtype=dtype).astype(z.dtype)
     gate = jax.nn.sigmoid(_mm(y, st["wg"], st["bg"], dtype))
+    return _gate_combine_out(st, y, gate, dtype)
+
+
+def _gate_combine_out(st, y, gate, dtype):
     g = _G
     comb = jnp.concatenate(
         [y[..., :g] * gate[..., g : 2 * g]
@@ -180,18 +207,25 @@ def _dual_stage_chain(st, z, skip, temb, dtype):
 
 
 def dual_decoder_forward(stages, x, skips, temb=None, *,
-                         dtype=jnp.bfloat16):
+                         dtype=jnp.bfloat16, split_mm=False):
     """Both decoder branches in one op chain (inference: BN folded).
     ``x [B, T, 4, 64]`` is the bottleneck, ``skips`` the encoder
     outputs; returns ``[B, T, 161, 2]`` with channels ``[real | imag]``
-    — exactly the flax ``concat([de_real(...), de_imag(...)], -1)``."""
-    z = jnp.concatenate([x, x], axis=-1)  # stage-1 branch inputs equal
+    — exactly the flax ``concat([de_real(...), de_imag(...)], -1)``.
+
+    ``split_mm`` routes every stage through the concat-free conv1
+    formulation (see ``_dual_stage_chain``) — the PDT_DUAL_V2
+    HBM-traffic experiment; MAC-identical, fp-reassociated."""
+    first = True
+    z = x if split_mm else jnp.concatenate([x, x], axis=-1)
     for st, skip in zip(stages, reversed(skips)):
-        out = _dual_stage_chain(st, z, skip, temb, dtype)
+        out = _dual_stage_chain(st, z, skip, temb, dtype,
+                                split_mm=split_mm, first=first)
         if "alpha" in st:
             a = st["alpha"].astype(out.dtype)
             out = jnp.where(out >= 0, out, a * out)
         z = out
+        first = False
     return z
 
 
@@ -332,6 +366,7 @@ def fused_unet_forward(packed, x, x_init=None, t=None, *,
                        num_steps: int = 50, dtype=jnp.bfloat16,
                        use_pallas: bool = True,
                        dual_decoder: bool = False,
+                       dual_split: bool = False,
                        interpret: bool = False) -> jnp.ndarray:
     """Inference forward matching ``DiffUNet1(x, x_init, t)`` (both
     conditioning inputs), ``Nocon(x, t)`` (``x_init=None``), or
@@ -366,7 +401,7 @@ def fused_unet_forward(packed, x, x_init=None, t=None, *,
     x = flat.reshape(b, tt, c, f).transpose(0, 1, 3, 2)
     if dual_decoder:
         return dual_decoder_forward(packed["dual_dec"], x, skips, temb,
-                                    dtype=dtype)
+                                    dtype=dtype, split_mm=dual_split)
     real = Decoder(time_cond, dtype=dt).apply(
         core_vars("de_real"), x, skips, temb, False)
     imag = Decoder(time_cond, dtype=dt).apply(

@@ -603,7 +603,8 @@ class ComplexDDPMTrainer(TrainerBase):
                     x_init = fused_unet_forward(
                         packed["dis"], feat.astype(dt), dtype=dt,
                         use_pallas=fused == "pallas",
-                        dual_decoder=fused == "dual",
+                        dual_decoder=fused in ("dual", "dual2"),
+                        dual_split=fused == "dual2",
                         interpret=jax.default_backend() == "cpu")
                 else:
                     x_init, _ = self._dis_apply(state["dis"],
@@ -627,7 +628,8 @@ class ComplexDDPMTrainer(TrainerBase):
                             packed["ddpm"], *args, t.astype(dt),
                             num_steps=self.ddpm_model.num_steps,
                             dtype=dt, use_pallas=fused == "pallas",
-                            dual_decoder=fused == "dual",
+                            dual_decoder=fused in ("dual", "dual2"),
+                            dual_split=fused == "dual2",
                             # CPU (tests) has no Mosaic: interpret there
                             interpret=jax.default_backend() == "cpu")
                         return eps.astype(dt)

@@ -62,6 +62,14 @@ def test_fused_forward_diffunet1(rng):
                               dual_decoder=True)
     np.testing.assert_allclose(np.asarray(y_dd), np.asarray(y_ref),
                                atol=3e-4)
+    # concat-free split-matmul variant (PDT_FUSED_ENC=dual2, the
+    # roofline-driven HBM-traffic experiment): MAC-identical, only fp
+    # reassociation differs
+    y_d2 = fused_unet_forward(packed, x, xi, t, num_steps=net.num_steps,
+                              dtype=jnp.float32, use_pallas=False,
+                              dual_decoder=True, dual_split=True)
+    np.testing.assert_allclose(np.asarray(y_d2), np.asarray(y_ref),
+                               atol=3e-4)
 
 
 def test_enhance_batch_fused_matches_default(tmp_path, rng, monkeypatch):
@@ -98,7 +106,7 @@ def test_enhance_batch_fused_matches_default(tmp_path, rng, monkeypatch):
 
     monkeypatch.delenv("PDT_FUSED_ENC", raising=False)
     out_ref = np.asarray(tr.enhance_batch(wav, key))
-    for mode in ("xla", "dual"):
+    for mode in ("xla", "dual", "dual2"):
         monkeypatch.setenv("PDT_FUSED_ENC", mode)
         out_fused = np.asarray(tr.enhance_batch(wav, key))
         assert out_fused.shape == out_ref.shape
