@@ -51,6 +51,7 @@ def _slope(run_chain, reps=3):
 
 
 def bench_family(jax, jnp, model, trainer_name, loss, dtype, corpus, tmp):
+    import prior_diffuse_tpu.training  # noqa: F401  (registry side effect)
     from prior_diffuse_tpu.config import (
         ExperimentConfig, ModelConfig, OptimConfig, RunConfig, TrainConfig,
     )
