@@ -154,6 +154,13 @@ class TrainerBase:
         contaminated ~4x (VERDICT r4 weak #3).
         """
         dp = self.mesh.shape["dp"]
+        multihost = jax.process_count() > 1
+        # multi-host (pod) runs: each process holds only ITS shard of
+        # the global batch (``distributed.data_shard`` dataset split);
+        # assemble the global jax.Array from per-process local data —
+        # device_put of a host array onto a cross-process sharding is
+        # not addressable from one process (parallel/distributed.py)
+        local_dp = dp // jax.process_count() if multihost else dp
         out = []
         for a in arrays:
             if isinstance(a, jax.Array):
@@ -166,12 +173,16 @@ class TrainerBase:
                 out.append(jax.device_put(a, self.batch_shard))
                 continue
             a = np.asarray(a)
-            rem = (-a.shape[0]) % dp
+            rem = (-a.shape[0]) % local_dp
             if rem:
                 a = np.concatenate(
                     [a, np.zeros((rem,) + a.shape[1:], a.dtype)], axis=0
                 )
-            out.append(jax.device_put(a, self.batch_shard))
+            if multihost:
+                out.append(jax.make_array_from_process_local_data(
+                    self.batch_shard, a))
+            else:
+                out.append(jax.device_put(a, self.batch_shard))
         return tuple(out)
 
     def put_replicated(self, tree):

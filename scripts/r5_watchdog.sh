@@ -40,7 +40,12 @@ while :; do
   [ -f "$log" ] || continue
   age=$(( $(date +%s) - $(stat -c %Y "$log") ))
   [ "$age" -ge "$WEDGE_S" ] || continue
-  tail -1 "$log" | grep -q '^step ' || continue
+  # mid-training stretch (step lines) or checkpoint-restore phase
+  # ("... eval data." is the last line before restore begins) — both
+  # are phases where >15 min of silence cannot be a legitimate remote
+  # compile (observed wedges 2026-08-20: post-save at step 16000, and
+  # during try-2's restore RPC)
+  tail -1 "$log" | grep -Eq '^step |eval data\.$' || continue
   for pid in $(job_pids); do
     t0=$(cpu_ticks "$pid"); [ -n "$t0" ] || continue
     sleep 30

@@ -24,6 +24,36 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 import numpy as np
 import pytest
 
+# ---- test tiers (VERDICT r5 item 6) ------------------------------------
+# The full suite costs >1 h on this 1-core box; the default inner-loop
+# tier is `-m "not slow"` (<5 min).  Whole files whose tests are
+# intrinsically heavy — torch-oracle transplants, end-to-end trainer
+# flows, 8-device mesh integration — are auto-marked here; individual
+# tests can also self-mark with @pytest.mark.slow.
+SLOW_FILES = {
+    "test_transplant.py",
+    "test_transplant_dbaiat.py",
+    "test_transplant_diffwave.py",
+    "test_transplant_gcrn.py",
+    "test_transplant_grn.py",
+    "test_e2e_parity.py",
+    "test_fused_train.py",
+    "test_fused_forward.py",
+    "test_modes_and_sharding.py",
+    "test_trainers.py",
+    "test_dbaiat_trainer.py",
+    "test_graft_entry.py",
+    "test_serving.py",
+    "test_mixed_precision.py",
+    "test_multihost.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if os.path.basename(str(item.fspath)) in SLOW_FILES:
+            item.add_marker(pytest.mark.slow)
+
 # The environment's sitecustomize registers the axon TPU plugin and
 # force-updates jax_platforms to "axon,cpu" at interpreter start; the
 # env var alone cannot win.  Override via jax.config before any backend

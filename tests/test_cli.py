@@ -38,6 +38,7 @@ optim_ddpm:
     return str(conf)
 
 
+@pytest.mark.slow  # full train->generate e2e flow, ~3 min alone
 def test_cli_train_then_generate(tmp_path, corpus):
     from prior_diffuse_tpu.cli import main
 

@@ -57,6 +57,7 @@ def test_pallas_dispatch_rules(monkeypatch):
     assert not _pallas_eligible(2, 320, 320, 160, None, jnp.float32)
 
 
+@pytest.mark.slow  # interpret-mode encoder chain, ~18 s
 def test_fused_encoder_stage_matches_flax(rng):
     """Fused conv-block kernel (round-3 verdict next #5) vs the flax
     Encoder, f32 interpret mode: all five stages must match the XLA
@@ -94,6 +95,7 @@ def test_fused_encoder_stage_matches_flax(rng):
                                atol=2e-4)
 
 
+@pytest.mark.slow  # interpret-mode encoder chain, ~17 s
 def test_fused_encoder_time_cond_matches_flax(rng):
     """Time-conditioned variant (the DiffUNet1 serving encoder): the
     per-stage Dense(512 -> Cin) t-projection must fold exactly into the
