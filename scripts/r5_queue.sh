@@ -19,8 +19,15 @@ mkdir -p "$STATE" "$SPOOL"
 echo $$ > "$STATE/queue.pid"
 
 tpu_alive() {
-  # The relay hangs forever when dead; bound the probe.
-  timeout 150 python -c "import jax; print(jax.devices())" > /dev/null 2>&1
+  # The relay hangs forever when dead; bound the probe.  Probe a REAL
+  # computation, not just jax.devices(): a wedged client blocks the
+  # relay's data path for every other client while device enumeration
+  # still answers (observed 2026-08-20 — three tries burned retrying
+  # into a blocked relay; killing the wedged client frees it).
+  timeout 240 python -c "
+import jax, jax.numpy as jnp, numpy as np
+x = jax.device_put(np.ones((256, 256), np.float32))
+assert float(jnp.sum(x @ x)) == 16777216.0" > /dev/null 2>&1
 }
 
 while :; do
