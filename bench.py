@@ -71,11 +71,13 @@ def _flops_of(lowered) -> float:
         return 0.0
 
 
-def bench_enhance(jax, jnp, dtype, dual=False):
+def bench_enhance(jax, jnp, dtype, dual=False, dual_split=False):
     """RTF of the full enhancement jit at the given compute dtype.
     ``dual=True`` measures the production bf16 default: both decoder
     branches as one block-diagonal op chain (PDT_FUSED_ENC semantics,
-    docs/PERF_fwdsplit_r4.json)."""
+    docs/PERF_fwdsplit_r4.json).  ``dual_split=True`` additionally uses
+    the concat-free split-conv1 formulation (PDT_FUSED_ENC=dual2, the
+    round-5 roofline experiment, docs/PERF_r5_notes.md)."""
     from prior_diffuse_tpu.config import DiffusionConfig, TrainConfig
     from prior_diffuse_tpu.diffusion import inference_schedule, reverse_sample
     from prior_diffuse_tpu.models import DiffUNet, DiffUNet1
@@ -114,7 +116,8 @@ def bench_enhance(jax, jnp, dtype, dual=False):
         if dual:
             x_init = fused_unet_forward(
                 ddpm_operand["dis"], feat.astype(dtype), dtype=dtype,
-                use_pallas=False, dual_decoder=True)
+                use_pallas=False, dual_decoder=True,
+                dual_split=dual_split)
         else:
             x_init = dis.apply(dis_vars, feat.astype(dtype), mutable=False)
         x_init = x_init.astype(dtype) / jnp.asarray(diff.scale_c, dtype)
@@ -125,7 +128,8 @@ def bench_enhance(jax, jnp, dtype, dual=False):
                     ddpm_operand["ddpm"], x.astype(dtype), x_init,
                     t.astype(dtype),
                     num_steps=diff.num_steps, dtype=dtype,
-                    use_pallas=False, dual_decoder=True).astype(dtype)
+                    use_pallas=False, dual_decoder=True,
+                    dual_split=dual_split).astype(dtype)
         else:
             def model_fn(x, t):
                 return ddpm.apply(ddpm_operand, x.astype(dtype), x_init,
@@ -347,8 +351,14 @@ def main():
     # the production bf16 serving default (dual block-diagonal decoder)
     rtf_bf16, utt_bf16, step_bf16, _ = bench_enhance(jax, jnp, jnp.bfloat16,
                                                      dual=True)
-    if rtf_bf16 < rtf_flax:  # adoption is measurement-gated, every run
-        rtf_bf16, utt_bf16, step_bf16 = rtf_flax, utt_flax, step_flax
+    # round-5 roofline candidate: concat-free split-conv1 formulation
+    rtf_d2, utt_d2, step_d2, _ = bench_enhance(jax, jnp, jnp.bfloat16,
+                                               dual=True, dual_split=True)
+    # adoption is measurement-gated, every run: headline = best measured
+    candidates = [(rtf_flax, utt_flax, step_flax, "flax"),
+                  (rtf_bf16, utt_bf16, step_bf16, "dual"),
+                  (rtf_d2, utt_d2, step_d2, "dual2")]
+    rtf_bf16, utt_bf16, step_bf16, serving_formulation = max(candidates)
 
     with tempfile.TemporaryDirectory() as tmp:
         train_step_s, flops_train = bench_train_step(jax, jnp, tmp)
@@ -375,6 +385,13 @@ def main():
         "enhance_batch_ms_bf16": round(step_bf16 * 1e3, 2),
         "enhance_batch_ms_bf16_flax": round(step_flax * 1e3, 2),
         "enhance_rtf_bf16_flax": round(rtf_flax, 2),
+        "enhance_batch_ms_bf16_dual2": round(step_d2 * 1e3, 2),
+        "enhance_rtf_bf16_dual2": round(rtf_d2, 2),
+        "serving_formulation": serving_formulation,
+        # static attainable ceiling of this program on v5e, from the
+        # jaxpr roofline (docs/PERF_r5_roofline.json): perfectly-fused
+        # elementwise, (8,128)-tile-quantized MXU, 819 GB/s HBM
+        "roofline_fused_ceiling_ms": 15.73,
         "train_step_ms_f32_batch6": round(train_step_s * 1e3, 2),
         "train_utt_per_sec_f32": round(TRAIN_BATCH / train_step_s, 2),
         "train_step_ms_bf16_batch6": round(train_step_bf16_s * 1e3, 2),
@@ -385,6 +402,8 @@ def main():
                          "(no published reference hardware numbers exist)",
         **stft_cmp,
     }
+    extra["roofline_attained_fraction"] = round(
+        0.01573 / step_bf16, 3)  # 1.0 == at the fused ceiling
     if flops_enh:
         extra["enhance_model_tflops_per_sec_bf16"] = round(
             flops_enh / step_bf16 / 1e12, 2

@@ -15,7 +15,12 @@
 # Launch: nohup bash scripts/r5_watchdog.sh > /tmp/r5/watchdog.log 2>&1 &
 set -u
 STATE=/tmp/r5
-WEDGE_S=${WEDGE_S:-900}
+# 25 min: a 500-step log stretch takes 75-150 s healthy (2-4x under
+# CPU contention) — 10x the contended cadence is unambiguous.  Do NOT
+# lower this: on 2026-08-20 a 15-min threshold judgement killed a
+# healthy client mid-training (low host CPU is NORMAL for a pipelined
+# client waiting on its log-every readback), costing three queue tries.
+WEDGE_S=${WEDGE_S:-1500}
 echo $$ > "$STATE/watchdog.pid"
 
 job_pids() {  # python descendants of the queue's current job shell
@@ -40,12 +45,10 @@ while :; do
   [ -f "$log" ] || continue
   age=$(( $(date +%s) - $(stat -c %Y "$log") ))
   [ "$age" -ge "$WEDGE_S" ] || continue
-  # mid-training stretch (step lines) or checkpoint-restore phase
-  # ("... eval data." is the last line before restore begins) — both
-  # are phases where >15 min of silence cannot be a legitimate remote
-  # compile (observed wedges 2026-08-20: post-save at step 16000, and
-  # during try-2's restore RPC)
-  tail -1 "$log" | grep -Eq '^step |eval data\.$' || continue
+  # ONLY the mid-training stretch (last line is a step line): restore
+  # and compile phases are legitimately silent for 10+ min under CPU
+  # contention — killing there murders healthy clients (2026-08-20)
+  tail -1 "$log" | grep -q '^step ' || continue
   for pid in $(job_pids); do
     t0=$(cpu_ticks "$pid"); [ -n "$t0" ] || continue
     sleep 30
