@@ -404,6 +404,20 @@ def main():
     }
     extra["roofline_attained_fraction"] = round(
         0.01573 / step_bf16, 3)  # 1.0 == at the fused ceiling
+
+    # Non-flagship prior families (GCRN / GRN / DB-AIAT ri): measured
+    # on chip by scripts/bench_priors.py with this file's slope
+    # methodology; merged from the committed artifact rather than
+    # re-measured here so a per-family failure can't zero the headline.
+    priors_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "docs", "BENCH_priors_r5.json")
+    if os.path.exists(priors_path):
+        with open(priors_path) as f:
+            priors = json.load(f)
+        for k, v in priors.items():
+            if k.startswith(("rtf_", "enhance_ms_", "bf16_speedup_")):
+                extra[f"priors_{k}"] = v
+        extra["priors_source"] = "docs/BENCH_priors_r5.json"
     if flops_enh:
         extra["enhance_model_tflops_per_sec_bf16"] = round(
             flops_enh / step_bf16 / 1e12, 2
