@@ -15,12 +15,17 @@
 # Launch: nohup bash scripts/r5_watchdog.sh > /tmp/r5/watchdog.log 2>&1 &
 set -u
 STATE=/tmp/r5
-# 25 min: a 500-step log stretch takes 75-150 s healthy (2-4x under
-# CPU contention) — 10x the contended cadence is unambiguous.  Do NOT
+# 45 min: a 500-step log stretch takes 75-150 s healthy (2-4x under
+# CPU contention) — but a step-line-frozen silence can ALSO be a
+# healthy orbax async-save finalize (measured ~31 min at b8 fullscale:
+# the finalize readback saturates the tunnel, the next save blocks in
+# wait_until_finished right after a step line, ~1% CPU — the full
+# wedge signature on a healthy client; CLAUDE.md round-5).  Do NOT
 # lower this: on 2026-08-20 a 15-min threshold judgement killed a
-# healthy client mid-training (low host CPU is NORMAL for a pipelined
-# client waiting on its log-every readback), costing three queue tries.
-WEDGE_S=${WEDGE_S:-1500}
+# healthy client mid-training, and a 25-min threshold would have
+# killed the fs8A save-finalize (and possibly corrupted the latest
+# checkpoint).
+WEDGE_S=${WEDGE_S:-2700}
 echo $$ > "$STATE/watchdog.pid"
 
 job_pids() {  # python descendants of the queue's current job shell
