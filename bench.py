@@ -29,7 +29,25 @@ baseline and deliberately labeled as such here.
 import json
 import os
 import statistics
+import sys
 import time
+
+try:  # pragma: no cover - environment guard
+    import numpy  # noqa: F401
+except ModuleNotFoundError:
+    # The 2026-08-21 re-image left a bare python3.12 first on PATH while
+    # the full stack (numpy/jax/axon) lives in /opt/venv.  The driver
+    # invokes ``python bench.py``; re-exec into the venv interpreter so
+    # the round bench still runs.  Only when executed as a script — an
+    # importing process keeps its own interpreter.
+    _VENV = "/opt/venv/bin/python"
+    # NB: the venv python is a symlink to the same base binary — venv
+    # identity is sys.prefix (pyvenv.cfg discovery), not the realpath.
+    if (os.path.exists(_VENV)
+            and os.path.basename(sys.argv[0]).startswith("bench")
+            and sys.prefix != "/opt/venv"):
+        os.execv(_VENV, [_VENV] + sys.argv)
+    raise
 
 REFERENCE_RTF = 1.04  # torch CPU measurement, see module docstring
 

@@ -17,5 +17,5 @@ assert d['extra']['enhance_rtf_bf16'] > 0
 print('bench ok', d['value'], d['extra'].get('serving_formulation'))
 "; then
   echo "$out" > docs/BENCH_r5_fresh.json
-  touch /tmp/r5/90_bench_warm.done
+  touch /tmp/r5/05_bench_warm.done
 fi

@@ -6,6 +6,10 @@
 # Launch:  mkdir -p /tmp/r5 && nohup bash scripts/r5_queue.sh > /tmp/r5/queue.log 2>&1 &
 set -u
 cd /root/repo
+# 2026-08-21 re-image: the default ``python`` is a bare 3.12 with no
+# numpy/jax; the full stack lives in /opt/venv.  Put it first on PATH
+# so every job's ``python`` resolves to the working interpreter.
+export PATH=/opt/venv/bin:$PATH
 export PYTHONPATH=/root/.axon_site:/root/repo
 export PDT_APPROX_PESQ=1
 export JAX_COMPILATION_CACHE_DIR=/tmp/jax_bench_cache

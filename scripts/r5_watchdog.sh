@@ -14,6 +14,7 @@
 #
 # Launch: nohup bash scripts/r5_watchdog.sh > /tmp/r5/watchdog.log 2>&1 &
 set -u
+export PATH=/opt/venv/bin:$PATH  # re-imaged box: stack lives in /opt/venv
 STATE=/tmp/r5
 # 45 min: a 500-step log stretch takes 75-150 s healthy (2-4x under
 # CPU contention) — but a step-line-frozen silence can ALSO be a
