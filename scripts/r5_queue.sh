@@ -28,7 +28,7 @@ tpu_alive() {
   # relay's data path for every other client while device enumeration
   # still answers (observed 2026-08-20 — three tries burned retrying
   # into a blocked relay; killing the wedged client frees it).
-  timeout 480 python -c "
+  timeout 1800 python -c "
 import jax, jax.numpy as jnp, numpy as np
 x = jax.device_put(np.ones((256, 256), np.float32))
 assert float(jnp.sum(x @ x)) == 16777216.0" > /dev/null 2>&1
