@@ -373,6 +373,7 @@ def main():
     rtf_d2, utt_d2, step_d2, _ = bench_enhance(jax, jnp, jnp.bfloat16,
                                                dual=True, dual_split=True)
     # adoption is measurement-gated, every run: headline = best measured
+    step_dual, rtf_dual = step_bf16, rtf_bf16  # keep the A/B pair visible
     candidates = [(rtf_flax, utt_flax, step_flax, "flax"),
                   (rtf_bf16, utt_bf16, step_bf16, "dual"),
                   (rtf_d2, utt_d2, step_d2, "dual2")]
@@ -403,6 +404,8 @@ def main():
         "enhance_batch_ms_bf16": round(step_bf16 * 1e3, 2),
         "enhance_batch_ms_bf16_flax": round(step_flax * 1e3, 2),
         "enhance_rtf_bf16_flax": round(rtf_flax, 2),
+        "enhance_batch_ms_bf16_dual": round(step_dual * 1e3, 2),
+        "enhance_rtf_bf16_dual": round(rtf_dual, 2),
         "enhance_batch_ms_bf16_dual2": round(step_d2 * 1e3, 2),
         "enhance_rtf_bf16_dual2": round(rtf_d2, 2),
         "serving_formulation": serving_formulation,
