@@ -8,9 +8,13 @@
 set -u
 cd /root/repo
 [ -e /tmp/r5/15_mini_b.done ] || { echo "stage B not done"; exit 1; }
+# fast-4 and fast-8 are dropped: they duplicate the bf16 rounding
+# classes already covered (fast-3: top abar 0.999; fast-6/full-50:
+# 0.9999) and the round's remaining chip budget is tight post-blackout.
 timeout 5400 python scripts/eval_schedules.py \
   --assets assets/mini8 --doc miniB --sigma --predict-x0 --bf16 \
-  --batch 8 --report /tmp/r5/sched_tradeoff.md
+  --batch 8 --variants "prior,fast-2,fast-3,fast-6,full-50" \
+  --report /tmp/r5/sched_tradeoff.md
 if [ -s /tmp/r5/sched_tradeoff.md ]; then
   cp -f /tmp/r5/sched_tradeoff.md docs/SCHEDULE_TRADEOFF_r5.md
   cp -f /tmp/r5/sched_tradeoff.json docs/SCHEDULE_TRADEOFF_r5.json
