@@ -89,13 +89,18 @@ def _flops_of(lowered) -> float:
         return 0.0
 
 
-def bench_enhance(jax, jnp, dtype, dual=False, dual_split=False):
+def bench_enhance(jax, jnp, dtype, dual=False, dual_split=False,
+                  schedule=None):
     """RTF of the full enhancement jit at the given compute dtype.
     ``dual=True`` measures the production bf16 default: both decoder
     branches as one block-diagonal op chain (PDT_FUSED_ENC semantics,
     docs/PERF_fwdsplit_r4.json).  ``dual_split=True`` additionally uses
     the concat-free split-conv1 formulation (PDT_FUSED_ENC=dual2, the
-    round-5 roofline experiment, docs/PERF_r5_notes.md)."""
+    round-5 roofline experiment, docs/PERF_r5_notes.md).  ``schedule``
+    overrides the inference noise schedule (e.g. the measured fast-2
+    serving knee, docs/SCHEDULE_TRADEOFF_r5.md §4)."""
+    import dataclasses
+
     from prior_diffuse_tpu.config import DiffusionConfig, TrainConfig
     from prior_diffuse_tpu.diffusion import inference_schedule, reverse_sample
     from prior_diffuse_tpu.models import DiffUNet, DiffUNet1
@@ -104,6 +109,8 @@ def bench_enhance(jax, jnp, dtype, dual=False, dual_split=False):
 
     cfg = TrainConfig()
     diff = DiffusionConfig()
+    if schedule is not None:
+        diff = dataclasses.replace(diff, inference_noise_schedule=schedule)
     sched = inference_schedule(diff, fast_sampling=True)
 
     dis = DiffUNet()
@@ -378,6 +385,10 @@ def main():
                   (rtf_bf16, utt_bf16, step_bf16, "dual"),
                   (rtf_d2, utt_d2, step_d2, "dual2")]
     rtf_bf16, utt_bf16, step_bf16, serving_formulation = max(candidates)
+    # the measured serving knee: fast-2 holds fast-6's quality at 2.3x
+    # the throughput (docs/SCHEDULE_TRADEOFF_r5.md §4) — opt-in config
+    rtf_f2, utt_f2, step_f2, _ = bench_enhance(
+        jax, jnp, jnp.bfloat16, dual=True, schedule=[1e-2, 0.5])
 
     with tempfile.TemporaryDirectory() as tmp:
         train_step_s, flops_train = bench_train_step(jax, jnp, tmp)
@@ -408,6 +419,9 @@ def main():
         "enhance_rtf_bf16_dual": round(rtf_dual, 2),
         "enhance_batch_ms_bf16_dual2": round(step_d2 * 1e3, 2),
         "enhance_rtf_bf16_dual2": round(rtf_d2, 2),
+        "enhance_batch_ms_bf16_fast2": round(step_f2 * 1e3, 2),
+        "enhance_rtf_bf16_fast2": round(rtf_f2, 2),
+        "utt_per_sec_chip_bf16_fast2": round(utt_f2, 2),
         "serving_formulation": serving_formulation,
         # static attainable ceiling of this program on v5e, from the
         # jaxpr roofline (docs/PERF_r5_roofline.json): perfectly-fused
